@@ -1,0 +1,87 @@
+"""End-to-end content-stream -> text goldens ported from
+/root/reference/test/textparser.ts (mock Type1 font with MissingWidth 1000),
+plus geometry goldens from test/graphics.ts and swapEndian from
+test/encoding.ts."""
+from pdfi_spark.core.assemble import render_layout
+from pdfi_spark.core.doc import Resources
+from pdfi_spark.core.encoding import swap_endian
+from pdfi_spark.core.geometry import (
+    contains_rectangle,
+    distance_to_rectangle,
+    format_rectangle,
+    make_rectangle,
+)
+
+
+def create_mock_resources() -> Resources:
+    font_object = {
+        "Type": "Font",
+        "Subtype": "Type1",
+        "Encoding": {"Type": "Encoding", "Differences": []},
+        "Widths": [],
+        "FontDescriptor": {"MissingWidth": 1000},
+    }
+    return Resources(None, {"Font": {"F10": font_object}})
+
+
+def render_string(content_stream: str) -> list[str]:
+    outer_bounds = make_rectangle(0, 0, 800, 600)
+    resources = create_mock_resources()
+    paragraphs = render_layout(outer_bounds, content_stream.encode("latin-1"), resources)
+    texts = []
+    for paragraph in paragraphs:
+        for line in paragraph["elements"]:
+            for word_group in line["elements"]:
+                for span in word_group["elements"]:
+                    texts.append(span["text"])
+    return texts
+
+
+def test_simple_text_show_operation():
+    assert render_string("/F10 11 Tf BT (Adjustments must) Tj ET") == ["Adjustments must"]
+
+
+def test_nested_string():
+    assert render_string("/F10 11 Tf BT (In case of \\(dire\\) emergency) Tj ET") == [
+        "In case of (dire) emergency"
+    ]
+
+
+def test_tj_array_with_kerning():
+    # TJ with a large negative shift inserts a word gap; spans stay separate
+    texts = render_string("/F10 10 Tf BT [(Hello) -250 (world)] TJ ET")
+    assert texts == ["Hello", "world"]
+
+
+def test_multiline_td():
+    texts = render_string("/F10 10 Tf BT 14 TL (first line) Tj 0 -14 Td (second line) Tj ET")
+    assert texts == ["first line", "second line"]
+
+
+# --- graphics.ts goldens ----------------------------------------------------
+
+def test_distance_between_rectangles():
+    unit = make_rectangle(0, 0, 1, 1)
+    unit_at_22 = make_rectangle(2, 2, 3, 3)
+    assert distance_to_rectangle(unit, unit_at_22) == (1, 1)
+    assert distance_to_rectangle(unit_at_22, unit) == (1, 1)
+
+
+def test_format_rectangle():
+    assert format_rectangle(make_rectangle(0, 0, 1, 1)) == "[0, 0, 1, 1]"
+
+
+def test_rectangle_containment():
+    assert contains_rectangle(make_rectangle(0, 0, 10, 10), make_rectangle(0, 0, 1, 1))
+
+
+# --- encoding.ts goldens ----------------------------------------------------
+
+def test_swap_endian_even():
+    assert swap_endian(bytes.fromhex("fffe680065006c006c006f00")).hex() == \
+        "feff00680065006c006c006f"
+
+
+def test_swap_endian_odd():
+    assert swap_endian(bytes.fromhex("fffe680065006c006c006f")).hex() == \
+        "feff00680065006c006c6f"
