@@ -1,38 +1,288 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship extraction pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (extraction recipes) plus the training-data operators
+(dedup / similarity / text analysis); ``oracle_sql()`` gives the DuckDB
+twin for every query so the driver's correctness gate can hash-compare
+results at sf0.01.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pdfi_spark import ops
+from pdfi_spark.core.api import read_pdf
+from pdfi_spark.core.pdfgen import ORACLE_EXPECTED_SQL, ORACLE_PER_BLOCK, build_pdf
+from pdfi_spark.datagen import build_documents, build_documents_with_id
+from pdfi_spark.ops.dedup import MINHASH_SEEDS, SIMHASH_BITS
+from pdfi_spark.ops.similarity import LSH_PLANES
+from pdfi_spark.ops.textstats import BPE_ISH_RE, EN_STOPWORDS
+from pdfi_spark.pipeline import extract_text
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the Common-Crawl-style documents table (mixed
+    PDF recipes), run the salted mapInPandas extraction, and return
+    extracted rows where the output matched the golden text."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    documents = build_documents(spark, SF0001, recipe="mixed")
+    extracted = extract_text(documents, payload_col="html", n_partitions=8)
+    golden = documents.select("url", F.col("text").alias("expected"))
+    return (
+        extracted.join(golden, "url")
+        .select(
+            "url",
+            "text",
+            "n_pages",
+            "n_chars",
+            "error",
+            (F.col("text") == F.col("expected")).alias("matches_golden"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# extraction queries: one per PDF-generator recipe (SURVEY.md §2 operators)
+# ---------------------------------------------------------------------------
+
+def _extract_query(recipe: str) -> Callable[[SparkSession, str], DataFrame]:
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = build_documents_with_id(spark, sf_dir, recipe, per_block=ORACLE_PER_BLOCK)
+        payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
+        extracted = extract_text(payload, payload_col="html")
+        return extracted.select(F.col("url").cast("long").alias("doc_id"), "text")
+
+    return q
+
+
+def _extract_meta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
+    payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
+    extracted = extract_text(payload, payload_col="html")
+    return extracted.select(
+        F.col("url").cast("long").alias("doc_id"), "n_pages", "n_chars"
+    )
+
+
+def _extract_errors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
+    payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
+    extracted = extract_text(payload, payload_col="html")
+    return extracted.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+    )
+
+
+def _metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailer metadata probe (readSourceSync type='metadata' analog)."""
+    docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
+
+    def probe(iterator):
+        for batch in iterator:
+            rows = [
+                {
+                    "doc_id": int(doc_id),
+                    "trailer_size": int(read_pdf(bytes(html), type="metadata")["Size"]),
+                }
+                for doc_id, html in zip(batch["doc_id"], batch["html"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "trailer_size"])
+
+    return docs.mapInPandas(probe, schema="doc_id long, trailer_size int")
+
+
+def _xref_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-reference enumeration (readSourceSync type='xref' analog),
+    over the PDF-1.5 xref-stream + ObjStm corpus."""
+    docs = build_documents_with_id(spark, sf_dir, "xref_stream", per_block=ORACLE_PER_BLOCK)
+
+    def probe(iterator):
+        for batch in iterator:
+            rows = [
+                {
+                    "doc_id": int(doc_id),
+                    "n_xrefs": len(read_pdf(bytes(html), type="xref")),
+                }
+                for doc_id, html in zip(batch["doc_id"], batch["html"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "n_xrefs"])
+
+    return docs.mapInPandas(probe, schema="doc_id long, n_xrefs int")
+
+
+# constants for the metadata/xref oracles, derived from the generator
+_SIMPLE_TRAILER_SIZE = read_pdf(build_pdf("probe text", "simple")[0], type="metadata")["Size"]
+_XREFSTREAM_N_XREFS = len(read_pdf(build_pdf("probe text", "xref_stream")[0], type="xref"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for recipe in ORACLE_EXPECTED_SQL:
+        out[f"extract_{recipe}"] = _extract_query(recipe)
+    out["extract_meta"] = _extract_meta_query
+    out["extract_errors"] = _extract_errors_query
+    out["trailer_metadata"] = _metadata_query
+    out["xref_count"] = _xref_count_query
+    out["dedup_exact"] = ops.dedup_exact
+    out["minhash_signatures"] = ops.minhash_signatures
+    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
+    out["simhash"] = ops.simhash
+    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
+    out["cosine_topk"] = ops.cosine_topk
+    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
+    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    out["lang_stopwords"] = ops.lang_stopword_counts
+    out["quality_scores"] = ops.quality_scores
+    out["token_counts"] = ops.token_counts
+    out["doc_fingerprint"] = ops.doc_fingerprint
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _minhash_sig_cte() -> str:
+    hash_cols = ", ".join(
+        f"min(('0x' || substr(md5(word || '{seed}'), 1, 8))::BIGINT) AS h{i + 1}"
+        for i, seed in enumerate(MINHASH_SEEDS)
+    )
+    return (
+        "WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word "
+        "FROM documents), "
+        f"sig AS (SELECT doc_id, {hash_cols} FROM words GROUP BY doc_id)"
+    )
+
+
+def _simhash_sql() -> str:
+    bit_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
+        "hashed AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words), "
+        f"bits AS (SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, ({recombine})::BIGINT AS simhash FROM bits"
+    )
+
+
+_COSINE_EXPR = (
+    "(round(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 3) + 0.0)"
+)
+
+
+def _lsh_bucket_expr() -> str:
+    terms = []
+    for b in range(LSH_PLANES):
+        dot = (
+            "list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> embedding[i]::DOUBLE * (((('0x' || substr(md5('{b}:' || (i - 1)::VARCHAR), 1, 2))::INT & 1) * 2 - 1))::DOUBLE))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")::INTEGER"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for recipe, template in ORACLE_EXPECTED_SQL.items():
+        expected = template.format(col="text")
+        out[f"extract_{recipe}"] = f"SELECT doc_id, {expected} AS text FROM documents"
+    out["extract_meta"] = (
+        "SELECT doc_id, 1 AS n_pages, (3 + length(text))::INTEGER AS n_chars FROM documents"
+    )
+    out["extract_errors"] = (
+        "SELECT count(*) AS n_docs, 0::BIGINT AS n_errors FROM documents"
+    )
+    out["trailer_metadata"] = (
+        f"SELECT doc_id, {_SIMPLE_TRAILER_SIZE} AS trailer_size FROM documents"
+    )
+    out["xref_count"] = (
+        f"SELECT doc_id, {_XREFSTREAM_N_XREFS} AS n_xrefs FROM documents"
+    )
+    out["dedup_exact"] = (
+        "SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS dedup_key, "
+        "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    )
+    out["minhash_signatures"] = (
+        _minhash_sig_cte() + " SELECT doc_id, h1, h2, h3, h4 FROM sig"
+    )
+    out["minhash_lsh_buckets"] = (
+        _minhash_sig_cte()
+        + ", bands AS ("
+        "SELECT 1 AS band, h1::VARCHAR || ':' || h2::VARCHAR AS bucket FROM sig "
+        "UNION ALL "
+        "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket FROM sig) "
+        "SELECT band, bucket, count(*) AS n_docs FROM bands GROUP BY band, bucket"
+    )
+    out["simhash"] = _simhash_sql()
+    out["ngram_jaccard"] = (
+        "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(0, len(string_split(text, ' ')) - 2), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS shingles "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3) "
+        "SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b, "
+        "len(list_intersect(a.shingles, b.shingles))::INTEGER AS n_intersect, "
+        "len(list_distinct(list_concat(a.shingles, b.shingles)))::INTEGER AS n_union "
+        "FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"
+    )
+    cos_q = _COSINE_EXPR.format(a="e.embedding", b="q.qe")
+    out["cosine_topk"] = (
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+        f"SELECT e.vec_id, {cos_q} AS cosine "
+        "FROM embeddings e, q WHERE e.vec_id <> 0 "
+        "ORDER BY cosine DESC, e.vec_id ASC LIMIT 10"
+    )
+    cos_adj = _COSINE_EXPR.format(a="a.embedding", b="b.embedding")
+    out["cosine_adjacent"] = (
+        "SELECT a.vec_id AS vec_a, a.vec_id + 1 AS vec_b, "
+        f"{cos_adj} AS cosine "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1"
+    )
+    out["lsh_ann_buckets"] = (
+        f"WITH coded AS (SELECT vec_id, {_lsh_bucket_expr()} AS bucket FROM embeddings) "
+        "SELECT bucket, count(*) AS n_vecs FROM coded GROUP BY bucket"
+    )
+    stopword_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    out["lang_stopwords"] = (
+        "SELECT doc_id, lang, "
+        f"len(list_filter(string_split(text, ' '), w -> w IN ({stopword_list})))::INTEGER AS n_stopwords, "
+        "len(string_split(text, ' '))::INTEGER AS n_words FROM documents"
+    )
+    out["quality_scores"] = (
+        "SELECT doc_id, length(text)::INTEGER AS n_chars, "
+        "len(string_split(text, ' '))::INTEGER AS n_words, "
+        "len(list_distinct(string_split(text, ' ')))::INTEGER AS n_distinct_words, "
+        "list_max(list_transform(string_split(text, ' '), w -> length(w)))::INTEGER AS max_word_len "
+        "FROM documents"
+    )
+    out["token_counts"] = (
+        "SELECT doc_id, len(string_split(text, ' '))::INTEGER AS n_ws_tokens, "
+        f"len(regexp_extract_all(text, '{BPE_ISH_RE}'))::INTEGER AS n_bpe_tokens FROM documents"
+    )
+    out["doc_fingerprint"] = (
+        "SELECT doc_id, md5(text) AS md5, "
+        "list_min(list_transform(range(0, len(string_split(text, ' ')) - 4), "
+        "i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))) AS winnow_min "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 5"
+    )
+    return out

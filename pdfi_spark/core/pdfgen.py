@@ -354,15 +354,15 @@ def make_single_page(content: bytes, font_objects: dict | None = None,
 # recipes: text -> (pdf_bytes, expected_extracted_string)
 # ---------------------------------------------------------------------------
 
-def recipe_simple(text: str) -> tuple[bytes, str]:
+def recipe_simple(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P1: one page, Type1 font, Tm/Tj per line."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     return make_single_page(content_ops_simple(blocks)), expected_string(blocks)
 
 
-def recipe_positioning(text: str) -> tuple[bytes, str]:
+def recipe_positioning(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P4: exercise Td/TD/Tm/T*/'/\" line positioning."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     ops = [b"BT /F1 %d Tf %d TL" % (FONT_SIZE, LEADING)]
     y = PAGE_TOP
     for block in blocks:
@@ -385,11 +385,11 @@ def recipe_positioning(text: str) -> tuple[bytes, str]:
     return make_single_page(b"\n".join(ops)), expected_string(blocks_expected)
 
 
-def recipe_tj_kerning(text: str) -> tuple[bytes, str]:
+def recipe_tj_kerning(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P3: TJ arrays with word-gap shifts (-300 => 3pt at 10pt font) and a
     small kern (-50 => 0.5pt, below the 1pt word threshold) inside the
     first word pair of each line."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     ops = [b"BT /F1 %d Tf" % FONT_SIZE]
     y = PAGE_TOP
     expected_blocks = []
@@ -411,51 +411,51 @@ def recipe_tj_kerning(text: str) -> tuple[bytes, str]:
     return make_single_page(b"\n".join(ops)), expected_string(expected_blocks)
 
 
-def recipe_flate(text: str) -> tuple[bytes, str]:
+def recipe_flate(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P5: content stream wrapped in FlateDecode."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(content_ops_simple(blocks), filters=["FlateDecode"])
     return pdf, expected_string(blocks)
 
 
-def recipe_asciihex(text: str) -> tuple[bytes, str]:
-    blocks = split_blocks(wrap_text(text))
+def recipe_asciihex(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(content_ops_simple(blocks), filters=["ASCIIHexDecode"])
     return pdf, expected_string(blocks)
 
 
-def recipe_ascii85(text: str) -> tuple[bytes, str]:
-    blocks = split_blocks(wrap_text(text))
+def recipe_ascii85(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(content_ops_simple(blocks), filters=["ASCII85Decode"])
     return pdf, expected_string(blocks)
 
 
-def recipe_lzw(text: str) -> tuple[bytes, str]:
-    blocks = split_blocks(wrap_text(text))
+def recipe_lzw(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(content_ops_simple(blocks), filters=["LZWDecode"])
     return pdf, expected_string(blocks)
 
 
-def recipe_filter_chain(text: str) -> tuple[bytes, str]:
+def recipe_filter_chain(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """Filter pipeline: ASCIIHex over Flate (decode order: hex -> inflate)."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(
         content_ops_simple(blocks), filters=["FlateDecode", "ASCIIHexDecode"]
     )
     return pdf, expected_string(blocks)
 
 
-def recipe_xref_stream(text: str) -> tuple[bytes, str]:
+def recipe_xref_stream(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P9: PDF-1.5 xref stream + object stream (+ Up predictor)."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     pdf = make_single_page(content_ops_simple(blocks), xref="stream", predictor=True)
     return pdf, expected_string(blocks)
 
 
-def recipe_type0_cmap(text: str) -> tuple[bytes, str]:
+def recipe_type0_cmap(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P7: Type0/CIDFontType2 with 2-byte codes and a ToUnicode CMap
     (bfrange + a few bfchars)."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     cmap = b"""/CIDInit /ProcSet findresource begin
 12 dict begin
 begincmap
@@ -513,10 +513,10 @@ end"""
     return w.build(root_ref), expected_string(blocks)
 
 
-def recipe_differences(text: str) -> tuple[bytes, str]:
+def recipe_differences(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P8: Encoding /Differences overlay with uniXXXX glyph names; bytes
     128+k are remapped to the distinct characters of the text."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     alphabet = sorted(set("".join(" ".join(b) for b in blocks)))
     assert len(alphabet) <= 96, "differences recipe supports <=96 distinct chars"
     code_of = {ch: 128 + i for i, ch in enumerate(alphabet)}
@@ -544,10 +544,10 @@ def recipe_differences(text: str) -> tuple[bytes, str]:
     return pdf, expected_string(blocks)
 
 
-def recipe_xobject(text: str, depth: int = 1) -> tuple[bytes, str]:
+def recipe_xobject(text: str, per_block: int = 6, depth: int = 1) -> tuple[bytes, str]:
     """P10: the text lives inside a chain of `depth` nested Form XObjects.
     Depth <= 4 renders; deeper chains are skipped by the recursion cap."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     w = PDFWriter()
     font_ref = w.add(base_font_object())
     inner_content = content_ops_simple(blocks)
@@ -578,7 +578,7 @@ def recipe_xobject(text: str, depth: int = 1) -> tuple[bytes, str]:
     return w.build(root_ref), expected
 
 
-def recipe_multicolumn(text: str) -> tuple[bytes, str]:
+def recipe_multicolumn(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P11: two columns; reading order column 1 then column 2."""
     lines = wrap_text(text, width=24)
     half = (len(lines) + 1) // 2
@@ -594,9 +594,9 @@ def recipe_multicolumn(text: str) -> tuple[bytes, str]:
     return make_single_page(b"\n".join(ops)), expected_string(blocks)
 
 
-def recipe_multipage(text: str) -> tuple[bytes, str]:
+def recipe_multipage(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """Multiple pages, one block per page."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     w = PDFWriter()
     font_ref = w.add(base_font_object())
     pages_ref = w.reserve()
@@ -616,9 +616,9 @@ def recipe_multipage(text: str) -> tuple[bytes, str]:
     return w.build(root_ref), expected_string(blocks)
 
 
-def recipe_multistream(text: str) -> tuple[bytes, str]:
+def recipe_multistream(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P14: page Contents is an ARRAY of streams, split between blocks."""
-    blocks = split_blocks(wrap_text(text))
+    blocks = split_blocks(wrap_text(text), per_block)
     mid = max(1, len(blocks) // 2)
     w = PDFWriter()
     font_ref = w.add(base_font_object())
@@ -647,11 +647,11 @@ def recipe_multistream(text: str) -> tuple[bytes, str]:
     return w.build(root_ref), expected_string(blocks)
 
 
-def recipe_sections(text: str) -> tuple[bytes, str]:
+def recipe_sections(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P12: alternating header (14pt) and body (10pt) blocks. Headers are
     larger than the 75th-percentile content size + 0.5 => section titles."""
     lines = wrap_text(text)
-    body_blocks = split_blocks(lines, per_block=8)
+    body_blocks = split_blocks(lines, max(per_block, 8))
     ops = [b"BT"]
     y = PAGE_TOP
     sections = []
@@ -691,7 +691,83 @@ RECIPES = {
 }
 
 
-def build_pdf(text: str, recipe: str = "simple") -> tuple[bytes, str]:
+def build_pdf(text: str, recipe: str = "simple", per_block: int = 6) -> tuple[bytes, str]:
     """Build a synthetic PDF embedding `text`; returns (pdf_bytes,
-    expected_extracted_string)."""
-    return RECIPES[recipe](text)
+    expected_extracted_string). per_block controls lines-per-paragraph;
+    a huge per_block yields a single paragraph whose text round-trips
+    to exactly the input (SQL-expressible oracle)."""
+    return RECIPES[recipe](text, per_block)
+
+
+# ---------------------------------------------------------------------------
+# oracle variants: expected output is a pure SQL expression over `text`
+# ---------------------------------------------------------------------------
+
+def recipe_multicolumn_oracle(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Two columns where column 1 carries the whole text and column 2 a
+    constant sentinel, so the expected string is SQL-expressible."""
+    col1 = wrap_text(text, width=24)
+    col2 = ["end of document"]
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    # column 2 starts half a leading lower so it never shares a line band
+    # with a 1-line column 1
+    for x, y, col in ((PAGE_X, PAGE_TOP, col1), (PAGE_X + 250, PAGE_TOP - 7, col2)):
+        for line in col:
+            ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(line)))
+            y -= LEADING
+    ops.append(b"ET")
+    expected = "# \n" + text + "\nend of document"
+    return make_single_page(b"\n".join(ops)), expected
+
+
+def recipe_sections_oracle(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """A leading all-bold title paragraph + the whole text as one body
+    paragraph. Bold (not size) marks the title so the 75th-percentile font
+    size stays stable for arbitrarily short bodies."""
+    lines = wrap_text(text)
+    bold_font = base_font_object()
+    bold_font["BaseFont"] = Name("Helvetica-Bold")
+    ops = [b"BT"]
+    y = PAGE_TOP
+    ops.append(b"/FB %d Tf 1 0 0 1 %d %d Tm (section 0) Tj" % (FONT_SIZE, PAGE_X, y))
+    y -= BLOCK_GAP
+    ops.append(b"/F1 %d Tf" % FONT_SIZE)
+    for line in lines:
+        ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (PAGE_X, y, _esc(line)))
+        y -= LEADING
+    ops.append(b"ET")
+    expected = "# section 0\n" + text
+    pdf = make_single_page(
+        b"\n".join(ops),
+        font_objects={"F1": base_font_object(), "FB": bold_font},
+    )
+    return pdf, expected
+
+
+RECIPES["multicolumn_oracle"] = recipe_multicolumn_oracle
+RECIPES["sections_oracle"] = recipe_sections_oracle
+
+# DuckDB SQL expression (over column name injected as {col}) computing the
+# expected extracted string for each oracle-able recipe, when built with
+# per_block large enough for a single paragraph.
+_DEFAULT_EXPECTED_SQL = "'# ' || chr(10) || {col}"
+ORACLE_EXPECTED_SQL: dict[str, str] = {
+    "simple": _DEFAULT_EXPECTED_SQL,
+    "positioning": _DEFAULT_EXPECTED_SQL,
+    "tj_kerning": _DEFAULT_EXPECTED_SQL,
+    "flate": _DEFAULT_EXPECTED_SQL,
+    "asciihex": _DEFAULT_EXPECTED_SQL,
+    "ascii85": _DEFAULT_EXPECTED_SQL,
+    "lzw": _DEFAULT_EXPECTED_SQL,
+    "filter_chain": _DEFAULT_EXPECTED_SQL,
+    "xref_stream": _DEFAULT_EXPECTED_SQL,
+    "type0_cmap": _DEFAULT_EXPECTED_SQL,
+    "differences": _DEFAULT_EXPECTED_SQL,
+    "xobject": _DEFAULT_EXPECTED_SQL,
+    "multipage": _DEFAULT_EXPECTED_SQL,
+    "multistream": _DEFAULT_EXPECTED_SQL,
+    "multicolumn_oracle": "'# ' || chr(10) || {col} || chr(10) || 'end of document'",
+    "sections_oracle": "'# section 0' || chr(10) || {col}",
+}
+
+ORACLE_PER_BLOCK = 1_000_000  # single paragraph => expected == input text

@@ -1,0 +1,110 @@
+"""Deduplication operators: exact, MinHash(+LSH banding), SimHash, n-gram
+Jaccard. All JVM-side (explode/groupBy/higher-order functions); hashes are
+md5-derived so the DuckDB oracles can reproduce them bit-for-bit.
+
+Scale notes (100 TB): every operator below is a single shuffle on its
+grouping key (doc key, band bucket, or word). MinHash/SimHash shuffle
+exploded words — at 10^12 docs use `spark.sql.shuffle.partitions` sized to
+keep ~128MB per partition, and AQE handles stragglers; the band-bucket
+join output is the only potentially skewed stage (popular buckets), which
+AQE skew-join splitting covers.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MINHASH_SEEDS = ["#1", "#2", "#3", "#4"]
+SIMHASH_BITS = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hash32(col):
+    """First 8 hex digits of md5 as an unsigned 32-bit value in a long —
+    reproducible in DuckDB as ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a 5-word prefix key: one hash-aggregate shuffle."""
+    docs = _docs(spark, sf_dir)
+    key = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5))
+    return (
+        docs.select(key.alias("dedup_key"), "doc_id")
+        .groupBy("dedup_key")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+def _doc_words(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-permutation MinHash over the distinct word set of each document."""
+    words = _doc_words(_docs(spark, sf_dir)).distinct()
+    aggs = [
+        F.min(_hash32(F.concat(F.col("word"), F.lit(seed)))).alias(f"h{i + 1}")
+        for i, seed in enumerate(MINHASH_SEEDS)
+    ]
+    return words.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding of the MinHash signature: band1=(h1,h2), band2=(h3,h4);
+    bucket sizes per band — near-duplicate candidates share a bucket."""
+    sig = minhash_signatures(spark, sf_dir)
+    b1 = sig.select(F.lit(1).alias("band"), F.concat_ws(":", "h1", "h2").alias("bucket"))
+    b2 = sig.select(F.lit(2).alias("band"), F.concat_ws(":", "h3", "h4").alias("bucket"))
+    return b1.unionAll(b2).groupBy("band", "bucket").agg(F.count("*").alias("n_docs"))
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash with word-frequency weights: per-bit sign aggregation
+    of md5-derived word hashes."""
+    words = _doc_words(_docs(spark, sf_dir))
+    hashed = words.select("doc_id", _hash32(F.col("word")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*bit_aggs)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def _shingles(col="text", n=3):
+    """Distinct word n-gram shingles as an array<string> expression."""
+    words = F.split(col, " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard stats between consecutive doc_ids (a linear
+    candidate chain keeps this a broadcast-able self-join at test scale;
+    production pairing comes from the LSH buckets above)."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    right = sh.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("shingles").alias("shingles_b")
+    )
+    joined = sh.join(right, "doc_id")
+    return joined.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+        F.size(F.array_intersect("shingles", "shingles_b")).alias("n_intersect"),
+        F.size(F.array_union("shingles", "shingles_b")).alias("n_union"),
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the 100 TB scale path (bucket first, search within bucket:
+turns an O(N) scan per query into an O(N/2^bits) bucket probe, and the
+bucket assignment is a narrow map — no shuffle until the final group).
+
+All math uses built-in higher-order functions (zip_with/aggregate) —
+JVM-side, Arrow-free, codegen'd.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LSH_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+                k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against the query vector (vec_id=0 by
+    default). The single-row query side is broadcast; the scan side is a
+    narrow map + TakeOrdered — no shuffle."""
+    emb = _emb(spark, sf_dir)
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            (
+                F.round(
+                    _dot(F.col("embedding"), F.col("qvec"))
+                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    3,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def cosine_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup scan over consecutive vec_ids (candidate chain;
+    at scale candidates come from lsh_ann_buckets)."""
+    emb = _emb(spark, sf_dir)
+    right = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("emb_b")
+    )
+    joined = emb.join(right, "vec_id")
+    return joined.select(
+        F.col("vec_id").alias("vec_a"),
+        (F.col("vec_id") + 1).alias("vec_b"),
+        (
+            F.round(
+                _dot(F.col("embedding"), F.col("emb_b"))
+                / (_norm(F.col("embedding")) * _norm(F.col("emb_b"))),
+                3,
+            )
+            + F.lit(0.0)  # normalize IEEE -0.0
+        ).alias("cosine"),
+    )
+
+
+def _plane_sign(embedding, plane: int):
+    """Deterministic random-hyperplane sign bit: weight for (plane, dim) is
+    +-1 derived from md5 — reproducible in plain SQL on any engine."""
+    dims = F.sequence(F.lit(0), F.size(embedding) - 1)
+    weighted = F.transform(
+        dims,
+        lambda i: F.element_at(embedding, i + 1).cast("double")
+        * (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 2), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(1))
+            * 2
+            - 1
+        ).cast("double"),
+    )
+    total = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(total > 0, 1).otherwise(0)
+
+
+def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
+    -> bucket code; report bucket occupancy. ANN probe = exact cosine
+    within the query's bucket (and neighboring codes for recall)."""
+    emb = _emb(spark, sf_dir)
+    code = None
+    for b in range(LSH_PLANES):
+        term = _plane_sign(F.col("embedding"), b) * (1 << b)
+        code = term if code is None else code + term
+    coded = emb.select("vec_id", code.cast("int").alias("bucket"))
+    return coded.groupBy("bucket").agg(F.count("*").alias("n_vecs"))

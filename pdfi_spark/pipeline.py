@@ -1,0 +1,217 @@
+"""The distributed extraction pipeline.
+
+Scan -> salted repartition -> Arrow-batched ``mapInPandas`` extraction ->
+output + per-bucket lineage metrics -> checkpoint/resume.
+
+Design for 10^12 documents (SURVEY.md §4.2):
+
+- **Salted repartition**: work is hashed into ``n_buckets`` stable buckets
+  by ``pmod(xxhash64(url), n_buckets)``. The salt is a pure function of
+  the url, so task retries and resumed runs land rows in the same bucket.
+  Per-document work is indivisible (a PDF cannot be split), so skew
+  handling is placement: AQE rebalances bucket batches, and Arrow batch
+  size is kept small because rows carry multi-MB binaries.
+- **Checkpoint/resume**: each bucket is committed atomically (output files
+  + a metrics row). On restart, committed buckets are anti-joined away
+  before any extraction work. On Iceberg, output idempotency comes from
+  snapshot isolation; in this sandbox the same contract is implemented
+  with parquet subdirectories + a manifest (one JSON line per committed
+  bucket) — same lineage schema as FIXTURES.md §2.
+- **Error containment**: extraction never fails a task; malformed rows
+  produce ``error`` strings (the reference hard-throws,
+  /root/reference/parsers/machine.ts:61-64 — a deliberate, documented
+  extension for web-scale corpora).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core.api import extract_record
+
+EXTRACTED_SCHEMA = "url string, text string, n_pages int, n_chars int, error string"
+METRICS_COLUMNS = [
+    "run_id", "bucket", "n_docs", "n_bytes", "n_errors", "wall_ms", "committed_at",
+]
+
+# Rows carry multi-MB binary payloads; keep Arrow batches small so a batch
+# of PDFs fits comfortably in the Python worker (SURVEY.md §4.2).
+ARROW_BATCH_SIZE = 64
+
+
+def make_spark(app_name: str = "pdfi_spark", master: str | None = None,
+               shuffle_partitions: int = 32) -> SparkSession:
+    """Session factory with the pipeline's physical knobs set."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    return (
+        builder
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_SIZE))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # overwrite only the bucket partitions a wave touches, never the
+        # whole output root (which also holds the commit manifest)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .getOrCreate()
+    )
+
+
+def with_bucket(df: DataFrame, url_col: str = "url", n_buckets: int = 64) -> DataFrame:
+    """Stable, salt-style bucket id: pure function of the url, so retries
+    and resumes are deterministic."""
+    return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_buckets)))
+
+
+def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
+                 n_partitions: int | None = None,
+                 passthrough: list[str] | None = None) -> DataFrame:
+    """documents(url, html, ...) -> extracted(url, text, n_pages, n_chars, error).
+
+    The per-document library runs batch-at-a-time over Arrow inside
+    ``mapInPandas``; everything around it (shuffle, scan pruning, write)
+    stays JVM-side. Only ``url``, the payload column and any requested
+    passthrough columns are shipped to Python (column pruning keeps the
+    scan narrow). Passthrough columns are echoed into the output so no
+    re-join against the (binary-heavy) input is ever needed.
+    """
+    passthrough = passthrough or []
+    projected = df.select(
+        F.col(url_col).alias("url"), F.col(payload_col).alias("payload"), *passthrough
+    )
+    if n_partitions:
+        projected = projected.repartition(
+            n_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(n_partitions))
+        )
+    out_columns = ["url", "text", "n_pages", "n_chars", "error"]
+
+    def extract_batches(iterator):
+        for batch in iterator:
+            records = [
+                extract_record(url, bytes(payload))
+                for url, payload in zip(batch["url"], batch["payload"])
+            ]
+            out = pd.DataFrame.from_records(records, columns=out_columns)
+            for col in passthrough:
+                out[col] = batch[col].values
+            yield out
+
+    schema = EXTRACTED_SCHEMA
+    if passthrough:
+        extra = ", ".join(
+            f"{field.name} {field.dataType.simpleString()}"
+            for field in projected.schema.fields
+            if field.name in passthrough
+        )
+        schema = EXTRACTED_SCHEMA + ", " + extra
+    return projected.mapInPandas(extract_batches, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# checkpointed pipeline (parquet-backed; Iceberg mapping in module docstring)
+# ---------------------------------------------------------------------------
+
+class CheckpointStore:
+    """Bucket-commit ledger: a JSONL manifest of metrics rows, one per
+    committed bucket (the sandbox stand-in for an Iceberg metrics table)."""
+
+    def __init__(self, output_dir: str):
+        self.output_dir = output_dir
+        self.manifest_path = os.path.join(output_dir, "_metrics.jsonl")
+        os.makedirs(output_dir, exist_ok=True)
+
+    def committed_buckets(self) -> set[int]:
+        done = set()
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path, encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        done.add(json.loads(line)["bucket"])
+        return done
+
+    def commit(self, metrics_row: dict) -> None:
+        with open(self.manifest_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(metrics_row) + "\n")
+
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def run_pipeline(spark: SparkSession, documents: DataFrame, output_dir: str,
+                 run_id: str = "run0", n_buckets: int = 16,
+                 wave_size: int | None = None,
+                 payload_col: str = "html") -> dict:
+    """Extract all documents into ``output_dir`` with per-bucket
+    checkpointing; safe to kill and re-run (committed buckets are skipped).
+
+    Buckets are processed in *waves*: one Spark job per wave writes
+    ``partitionBy(bucket)`` output for every bucket in the wave, then each
+    bucket is committed to the manifest. The wave is the resume/commit
+    granularity; bucket membership is a stable hash of the url, so a
+    production input table bucketed on the same hash gets partition
+    pruning on the resume filter instead of a re-scan.
+
+    Returns a summary dict with totals and resume stats.
+    """
+    store = CheckpointStore(output_dir)
+    done = store.committed_buckets()
+    bucketed = with_bucket(documents, n_buckets=n_buckets)
+
+    summary = {"run_id": run_id, "buckets_total": n_buckets,
+               "buckets_skipped": len(done), "n_docs": 0, "n_errors": 0}
+
+    todo = [b for b in range(n_buckets) if b not in done]
+    wave_size = wave_size or len(todo) or 1
+    waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    for wave in waves:
+        start = time.time()
+        part = bucketed.filter(F.col("bucket").isin([int(b) for b in wave]))
+        with_size = part.withColumn("_nbytes", F.length(payload_col))
+        extracted = extract_text(
+            with_size, payload_col=payload_col, passthrough=["bucket", "_nbytes"]
+        )
+        extracted.select("url", "text", "n_pages", "n_chars", "error", "_nbytes", "bucket") \
+            .write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
+        wall_ms = int((time.time() - start) * 1000)
+        written = read_extracted(spark, output_dir).filter(
+            F.col("bucket").isin([int(b) for b in wave])
+        )
+        stats = {
+            r["bucket"]: r
+            for r in written.groupBy("bucket").agg(
+                F.count("*").alias("n_docs"),
+                F.sum("_nbytes").alias("n_bytes"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            ).collect()
+        }
+        for bucket in wave:
+            r = stats.get(bucket)
+            row = {
+                "run_id": run_id,
+                "bucket": int(bucket),
+                "n_docs": int(r["n_docs"]) if r else 0,
+                "n_bytes": int(r["n_bytes"] or 0) if r else 0,
+                "n_errors": int(r["n_errors"] or 0) if r else 0,
+                "wall_ms": wall_ms,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            store.commit(row)
+            summary["n_docs"] += row["n_docs"]
+            summary["n_errors"] += row["n_errors"]
+    return summary
+
+
+def read_extracted(spark: SparkSession, output_dir: str) -> DataFrame:
+    return spark.read.option("basePath", output_dir).parquet(
+        os.path.join(output_dir, "bucket=*")
+    )
