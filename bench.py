@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is end-to-end extraction throughput over a
+materialized synthetic PDF corpus (mixed recipes, FIXTURES.md §3) built
+deterministically from the driver's ``documents`` table. The corpus is
+written to a scratch dir first so the timed run measures scan ->
+salted repartition -> mapInPandas extraction -> aggregation, not
+generation. Training-data ops run over the driver's parquet tables
+directly.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR    input dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS      local[] parallelism (default 32)
+    BENCH_REPLICATE       corpus fan-out factor (default 20 -> 100k docs at sf0.1)
+    BENCH_SCRATCH         scratch dir (default <repo>/.bench)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pdfi_spark import ops  # noqa: E402
+from pdfi_spark.datagen import materialize_corpus  # noqa: E402
+from pdfi_spark.pipeline import extract_text, make_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def force(df) -> int:
+    """Fully evaluate a DataFrame without sink cost."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
+    scratch = os.environ.get("BENCH_SCRATCH", os.path.join(REPO, ".bench"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    spark = make_spark("pdfi-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # bench corpus rows are ~1.5 KB PDFs; large Arrow batches amortize the
+    # JVM<->Python pipe (production multi-MB PDFs use the small default)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- flagship: PDF extraction over the materialized corpus ------------
+    corpus = os.path.join(scratch, f"corpus_{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}")
+    t0 = time.time()
+    marker = os.path.join(corpus, "_SUCCESS")
+    if not os.path.exists(marker):
+        materialize_corpus(spark, sf_dir, corpus, recipe="mixed",
+                           n_files=cpus * 2, replicate=replicate)
+    extras["corpus_build_sec"] = round(time.time() - t0, 3)
+
+    documents = spark.read.parquet(corpus)
+    n_docs = documents.count()
+
+    t0 = time.time()
+    extracted = extract_text(documents, payload_col="html", n_partitions=cpus * 4)
+    force(extracted.select("url", "n_chars", "error"))
+    timings["extract"] = round(time.time() - t0, 3)
+    extras["extract_docs_per_sec"] = round(n_docs / timings["extract"], 1)
+    extras["extract_n_docs"] = n_docs
+
+    # --- training-data / analytics ops over the driver tables -------------
+    op_queries = {
+        "dedup_exact": ops.dedup_exact,
+        "minhash_signatures": ops.minhash_signatures,
+        "minhash_lsh_buckets": ops.minhash_lsh_buckets,
+        "simhash": ops.simhash,
+        "ngram_jaccard": ops.ngram_jaccard_pairs,
+        "cosine_topk": ops.cosine_topk,
+        "cosine_adjacent": ops.cosine_adjacent_pairs,
+        "lsh_ann_buckets": ops.lsh_ann_buckets,
+        "lang_stopwords": ops.lang_stopword_counts,
+        "quality_scores": ops.quality_scores,
+        "token_counts": ops.token_counts,
+        "doc_fingerprint": ops.doc_fingerprint,
+    }
+    for name, fn in op_queries.items():
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,14 +36,25 @@ def url_for(doc_id: int) -> str:
 
 def build_documents(spark: SparkSession, sf_dir: str, recipe: str = "flate",
                     per_block: int = ORACLE_PER_BLOCK,
-                    skew: bool = False) -> DataFrame:
+                    skew: bool = False, replicate: int = 1) -> DataFrame:
     """documents.parquet(doc_id, text, lang, ...) -> input_hint table.
 
     recipe='mixed' rotates through MIXED_RECIPES by doc_id. With
     skew=True, every 100th document carries a ~50x-repeated text payload
     (multipage recipe), exercising the salted-repartition path.
+    ``replicate=k`` fans each source row out to k distinct urls
+    (deterministic doc_id = id*k+rep) to scale bench corpora beyond the
+    driver's testdata row counts.
     """
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    if replicate > 1:
+        base = (
+            base.withColumn(
+                "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
+            .drop("rep")
+        )
 
     def generate(iterator):
         for batch in iterator:
@@ -88,9 +99,9 @@ def build_documents_with_id(spark: SparkSession, sf_dir: str, recipe: str,
 
 def materialize_corpus(spark: SparkSession, sf_dir: str, out_path: str,
                        recipe: str = "mixed", skew: bool = False,
-                       n_files: int = 32) -> str:
+                       n_files: int = 32, replicate: int = 1) -> str:
     """Write the synthetic corpus once; bench runs then only measure
     scan+extract, not generation."""
-    df = build_documents(spark, sf_dir, recipe=recipe, skew=skew)
+    df = build_documents(spark, sf_dir, recipe=recipe, skew=skew, replicate=replicate)
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return out_path

@@ -41,7 +41,7 @@ METRICS_COLUMNS = [
 
 # Rows carry multi-MB binary payloads; keep Arrow batches small so a batch
 # of PDFs fits comfortably in the Python worker (SURVEY.md §4.2).
-ARROW_BATCH_SIZE = 64
+ARROW_BATCH_SIZE = 64  # default for multi-MB real PDFs; bench corpora override via SQL conf
 
 
 def make_spark(app_name: str = "pdfi_spark", master: str | None = None,
