@@ -14,7 +14,13 @@ import re
 
 from .geometry import MAT3_IDENT, mat3mul
 from .lexing import Buf
-from .objects import consume_string, parse_array, parse_dictionary, unescape_name
+from .objects import (
+    _WS_BYTES,
+    consume_string,
+    parse_array,
+    parse_dictionary,
+    unescape_name,
+)
 
 # Table of the 72 aliased operators (reference parsers/states.ts:36-126;
 # operator set from PDF 32000-1:2008 Annex A).
@@ -86,80 +92,95 @@ def _consume_image_data(buf: Buf) -> bytes:
     return bytes(out)
 
 
+_CLEAN_WS_RE = re.compile(rb"\s+")
+
+
 def parse_content_stream(buffer: bytes) -> list[dict]:
-    """Tokenize a content stream into operations."""
+    """Tokenize a content stream into operations.
+
+    First-byte dispatch over the same token grammar (and the same
+    precedence: bool before name/number before operator) as the
+    reference's CONTENT_STREAM machine (parsers/states.ts:134-221)."""
     buf = Buf(buffer)
     data = buffer
     end = len(data)
     operations: list[dict] = []
     stack: list = []
     while buf.pos < end:
-        m = _WS_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
+        pos = buf.pos
+        b = data[pos]
+        if b in _WS_BYTES:
+            buf.pos = _WS_RE.match(data, pos).end()
             continue
-        m = _HEX_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            hexstring = re.sub(rb"\s+", b"", m.group(1))
-            if len(hexstring) % 2 == 1:
-                hexstring = hexstring[:-1]  # JS Buffer.from(.., 'hex') drops odd tail
-            stack.append(bytes.fromhex(hexstring.decode("ascii")))
-            continue
-        if data.startswith(b"<<", buf.pos):
-            buf.pos += 2
-            stack.append(parse_dictionary(buf))
-            continue
-        if data.startswith(b"[", buf.pos):
-            buf.pos += 1
-            stack.append(parse_array(buf))
-            continue
-        if data.startswith(b"(", buf.pos):
-            buf.pos += 1
+        if 0x30 <= b <= 0x39 or b == 0x2D or b == 0x2E:  # digit - .
+            m = _FLOAT_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                stack.append(float(m.group(0)))
+                continue
+            m = _INT_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                stack.append(int(m.group(0)))
+                continue
+        elif b == 0x28:  # (
+            buf.pos = pos + 1
             stack.append(consume_string(buf))
             continue
-        if data.startswith(b"ID", buf.pos):
-            buf.pos += 2
-            image_data = _consume_image_data(buf)
-            stack.append(image_data)
-            operations.append({"operands": stack, "operator": "EI", "alias": "endInlineImage"})
-            stack = []
+        elif b == 0x2F:  # /
+            m = _NAME_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                stack.append(unescape_name(m.group(1)))
+                continue
+        elif b == 0x3C:  # <
+            if data.startswith(b"<<", pos):
+                buf.pos = pos + 2
+                stack.append(parse_dictionary(buf))
+                continue
+            m = _HEX_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                hexstring = _CLEAN_WS_RE.sub(b"", m.group(1))
+                if len(hexstring) % 2 == 1:
+                    hexstring = hexstring[:-1]  # JS Buffer.from(.., 'hex') drops odd tail
+                stack.append(bytes.fromhex(hexstring.decode("ascii")))
+                continue
+        elif b == 0x5B:  # [
+            buf.pos = pos + 1
+            stack.append(parse_array(buf))
             continue
-        m = _BOOL_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            stack.append(m.group(0) == b"true")
-            continue
-        m = _NAME_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            stack.append(unescape_name(m.group(1)))
-            continue
-        m = _FLOAT_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            stack.append(float(m.group(0)))
-            continue
-        m = _INT_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            stack.append(int(m.group(0)))
-            continue
-        m = _COMMENT_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            continue
-        m = _OPERATOR_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            operator = m.group(0).decode("latin-1")
-            operations.append({
-                "operands": stack,
-                "operator": operator,
-                "alias": OPERATOR_ALIASES.get(operator),
-            })
-            stack = []
-            continue
+        elif b == 0x25:  # %
+            m = _COMMENT_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                continue
+        else:
+            if data.startswith(b"ID", pos):
+                buf.pos = pos + 2
+                image_data = _consume_image_data(buf)
+                stack.append(image_data)
+                operations.append(
+                    {"operands": stack, "operator": "EI", "alias": "endInlineImage"}
+                )
+                stack = []
+                continue
+            m = _BOOL_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                stack.append(m.group(0) == b"true")
+                continue
+            m = _OPERATOR_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                operator = m.group(0).decode("latin-1")
+                operations.append({
+                    "operands": stack,
+                    "operator": operator,
+                    "alias": OPERATOR_ALIASES.get(operator),
+                })
+                stack = []
+                continue
         raise ValueError(
             f"Invalid content stream at {buf.pos}: {data[buf.pos:buf.pos + 64]!r}"
         )

@@ -28,6 +28,7 @@ class PDFDocument:
         self._xref_index: dict[tuple[int, int], dict] = {}
         self._cached_objects: dict[tuple[int, int], object] = {}
         self._cached_fonts: dict = {}
+        self._cached_object_streams: dict[int, list] = {}
 
     # -- trailer / xref chain (reference PDF.ts:31-50) -----------------------
 
@@ -86,10 +87,15 @@ class PDFDocument:
         if ref.get("offset"):
             indirect = parse_object(Buf(self.data, ref["offset"], self._resolve_ref))
         else:
-            object_stream = ObjectStream(
-                self, self.get_object(ref["object_stream_object_number"], 0)
-            )
-            indirect = object_stream.objects[ref["object_stream_index"]]
+            # decode + parse each /ObjStm once per document, not per lookup
+            objstm_number = ref["object_stream_object_number"]
+            objects = self._cached_object_streams.get(objstm_number)
+            if objects is None:
+                objects = ObjectStream(
+                    self, self.get_object(objstm_number, 0)
+                ).objects
+                self._cached_object_streams[objstm_number] = objects
+            indirect = objects[ref["object_stream_index"]]
         if indirect["object_number"] != ref["object_number"]:
             raise ValueError(
                 f"PDF cross references are incorrect; the offset {ref.get('offset')} "

@@ -239,8 +239,12 @@ class Font:
         rendered as \\u{xx} placeholders (reference font/index.ts:238-256)."""
         encoding = self.encoding
         mapping = encoding["mapping"]
+        codes = (
+            buffer if encoding["characterByteLength"] == 1
+            else read_char_codes(buffer, encoding["characterByteLength"])
+        )
         out = []
-        for char_code in read_char_codes(buffer, encoding["characterByteLength"]):
+        for char_code in codes:
             s = mapping.get(char_code)
             if s is None:
                 out.append("" if skip_missing else "\\u{%s}" % format(char_code, "x"))
@@ -290,18 +294,35 @@ class Type1Font(Font):
                 'Type 1 Font without "Widths" field'
             )
 
+    _code_widths: dict | None = None
+    _unmapped_width: float | None = None
+
+    def _build_code_widths(self) -> None:
+        """Flatten charCode -> glyph -> width into one charCode -> width
+        table so measure() is a single dict lookup per code. Numerically
+        identical to the two-step lookup (same float values, same adds)."""
+        mapping = self.encoding["mapping"]
+        wm, default = self._width_mapping, self._default_width
+        # codes absent from the encoding map to glyph None; the two-step
+        # path then checks `None in width_mapping`
+        self._unmapped_width = wm[None] if None in wm else default
+        self._code_widths = {
+            code: (wm[s] if s in wm else default) for code, s in mapping.items()
+        }
+
     def measure(self, buffer: bytes) -> float:
         if self._width_mapping is None or self._default_width is None:
             self._initialize_width_mapping()
-        encoding = self.encoding
-        mapping = encoding["mapping"]
+        if self._code_widths is None:
+            self._build_code_widths()
+        code_widths, unmapped = self._code_widths, self._unmapped_width
         total = 0.0
-        for char_code in read_char_codes(buffer, encoding["characterByteLength"]):
-            s = mapping.get(char_code)
-            if s in self._width_mapping:
-                total += self._width_mapping[s]
-            else:
-                total += self._default_width
+        if self.encoding["characterByteLength"] == 1:
+            for char_code in buffer:
+                total += code_widths.get(char_code, unmapped)
+        else:
+            for char_code in read_char_codes(buffer, self.encoding["characterByteLength"]):
+                total += code_widths.get(char_code, unmapped)
         return total
 
 

@@ -32,6 +32,8 @@ _INDIRECT_RE = re.compile(rb"([0-9]+)\s+([0-9]+)\s+obj")
 _FLOAT_RE = re.compile(rb"-?\d*\.\d+")
 _INT_RE = re.compile(rb"-?\d+")
 _STREAM_START_RE = re.compile(rb">>\s*stream(\r\n|\n)")
+# one-shot digit-led token: "N G R" | "N G obj" | float | int
+_DIGIT_TOKEN_RE = re.compile(rb"(?:([0-9]+)\s+([0-9]+)\s+(R|obj))|([0-9]*\.[0-9]+)|([0-9]+)")
 _ENDSTREAM_RE = re.compile(rb"\s*endstream")
 _ENDOBJ_RE = re.compile(rb"\s*endobj")
 _NAME_ESCAPE_RE = re.compile(rb"#([A-Fa-f0-9]{2})")
@@ -39,6 +41,8 @@ _NAME_ESCAPE_RE = re.compile(rb"#([A-Fa-f0-9]{2})")
 
 def unescape_name(raw: bytes) -> str:
     """Unescape #xx sequences in a name (reference parsers/states.ts:14-16)."""
+    if 0x23 not in raw:  # no '#': the overwhelmingly common case
+        return raw.decode("latin-1")
     unescaped = _NAME_ESCAPE_RE.sub(lambda m: bytes([int(m.group(1), 16)]), raw)
     return unescaped.decode("latin-1")
 
@@ -67,10 +71,13 @@ def as_array(obj) -> list:
     return [obj]
 
 
+_WS_BYTES = frozenset(b" \t\r\n\f\x0b")
+
+
 def skip_whitespace(buf: Buf) -> None:
-    m = _WS_RE.match(buf.data, buf.pos)
-    if m:
-        buf.pos = m.end()
+    pos = buf.pos
+    if pos < len(buf.data) and buf.data[pos] in _WS_BYTES:
+        buf.pos = _WS_RE.match(buf.data, pos).end()
 
 
 # ---------------------------------------------------------------------------
@@ -170,49 +177,65 @@ def consume_hexstring(buf: Buf) -> bytes:
 # ---------------------------------------------------------------------------
 
 def parse_object(buf: Buf):
+    """First-byte-dispatch PDF value parser. Same grammar and precedence
+    as the reference's OBJECT machine (parsers/states.ts:289-351); the
+    dispatch only prunes alternatives that cannot match the lead byte."""
     data = buf.data
     skip_whitespace(buf)
     pos = buf.pos
-    if data.startswith(b"<<", pos):
-        buf.pos = pos + 2
-        return parse_dictionary(buf)
-    if data.startswith(b"<", pos):
+    if pos >= len(data):
+        raise ParseError("OBJECT", data, pos)
+    b = data[pos]
+    if b == 0x3C:  # '<'
+        if data.startswith(b"<<", pos):
+            buf.pos = pos + 2
+            return parse_dictionary(buf)
         buf.pos = pos + 1
         return consume_hexstring(buf)
-    if data.startswith(b"[", pos):
+    if b == 0x5B:  # '['
         buf.pos = pos + 1
         return parse_array(buf)
-    if data.startswith(b"(", pos):
+    if b == 0x28:  # '('
         buf.pos = pos + 1
         return consume_string(buf)
-    m = _REF_RE.match(data, pos)
-    if m:
-        buf.pos = m.end()
-        return {
-            "object_number": int(m.group(1)),
-            "generation_number": int(m.group(2)),
-        }
-    m = _INDIRECT_RE.match(data, pos)
-    if m:
-        buf.pos = m.end()
-        return {
-            "object_number": int(m.group(1)),
-            "generation_number": int(m.group(2)),
-            "value": parse_indirect_object_value(buf),
-        }
-    m = _NAME_RE.match(data, pos)
-    if m:
-        buf.pos = m.end()
-        return unescape_name(m.group(1))
-    if data.startswith(b"true", pos):
-        buf.pos = pos + 4
-        return True
-    if data.startswith(b"false", pos):
-        buf.pos = pos + 5
-        return False
-    if data.startswith(b"null", pos):
-        buf.pos = pos + 4
-        return None
+    if b == 0x2F:  # '/'
+        m = _NAME_RE.match(data, pos)
+        if m:
+            buf.pos = m.end()
+            return unescape_name(m.group(1))
+        raise ParseError("OBJECT", data, pos)
+    if 0x30 <= b <= 0x39:  # digit: reference, indirect object, or number
+        m = _DIGIT_TOKEN_RE.match(data, pos)
+        if m:
+            buf.pos = m.end()
+            kw = m.group(3)
+            if kw is not None:
+                if kw == b"R":
+                    return {
+                        "object_number": int(m.group(1)),
+                        "generation_number": int(m.group(2)),
+                    }
+                return {
+                    "object_number": int(m.group(1)),
+                    "generation_number": int(m.group(2)),
+                    "value": parse_indirect_object_value(buf),
+                }
+            g = m.group(4)
+            if g is not None:
+                return float(g)
+            return int(m.group(5))
+    elif b == 0x74:  # 't'
+        if data.startswith(b"true", pos):
+            buf.pos = pos + 4
+            return True
+    elif b == 0x66:  # 'f'
+        if data.startswith(b"false", pos):
+            buf.pos = pos + 5
+            return False
+    elif b == 0x6E:  # 'n'
+        if data.startswith(b"null", pos):
+            buf.pos = pos + 4
+            return None
     m = _FLOAT_RE.match(data, pos)
     if m:
         buf.pos = m.end()
@@ -227,12 +250,15 @@ def parse_object(buf: Buf):
 def parse_array(buf: Buf) -> list:
     out = []
     data = buf.data
+    end = len(data)
     while True:
-        skip_whitespace(buf)
-        if buf.pos >= len(data):
-            raise ParseError("ARRAY", data, buf.pos)
-        if data.startswith(b"]", buf.pos):
-            buf.pos += 1
+        pos = buf.pos
+        if pos < end and data[pos] in _WS_BYTES:
+            buf.pos = pos = _WS_RE.match(data, pos).end()
+        if pos >= end:
+            raise ParseError("ARRAY", data, pos)
+        if data[pos] == 0x5D:  # ']'
+            buf.pos = pos + 1
             return out
         out.append(parse_object(buf))
 
@@ -246,34 +272,41 @@ def parse_dictionary(buf: Buf):
     """
     value: dict = {}
     data = buf.data
+    end = len(data)
     while True:
-        m = _STREAM_START_RE.match(data, buf.pos)
-        if m:
-            buf.pos = m.end()
-            stream_length = value.get("Length")
-            if not isinstance(stream_length, (int, float)):
-                if buf.resolve is None:
-                    raise ParseError("DICTIONARY(stream-length)", data, buf.pos)
-                stream_length = buf.resolve(stream_length)
-            buffer = buf.next(int(stream_length))
-            m2 = _ENDSTREAM_RE.match(data, buf.pos)
-            if not m2:
-                raise ParseError("STREAM", data, buf.pos)
-            buf.pos = m2.end()
-            return {"dictionary": value, "buffer": buffer}
-        if data.startswith(b">>", buf.pos):
-            buf.pos += 2
-            return value
-        mw = _WS_RE.match(data, buf.pos)
-        if mw:
-            buf.pos = mw.end()
+        pos = buf.pos
+        if pos >= end:
+            raise ParseError("DICTIONARY", data, pos)
+        b = data[pos]
+        if b == 0x2F:  # '/': key
+            mn = _NAME_RE.match(data, pos)
+            if mn:
+                buf.pos = mn.end()
+                value[unescape_name(mn.group(1))] = parse_object(buf)
+                continue
+            raise ParseError("DICTIONARY", data, pos)
+        if b in _WS_BYTES:
+            buf.pos = _WS_RE.match(data, pos).end()
             continue
-        mn = _NAME_RE.match(data, buf.pos)
-        if mn:
-            buf.pos = mn.end()
-            value[unescape_name(mn.group(1))] = parse_object(buf)
-            continue
-        raise ParseError("DICTIONARY", data, buf.pos)
+        if b == 0x3E:  # '>': '>> stream' or plain '>>'
+            m = _STREAM_START_RE.match(data, pos)
+            if m:
+                buf.pos = m.end()
+                stream_length = value.get("Length")
+                if not isinstance(stream_length, (int, float)):
+                    if buf.resolve is None:
+                        raise ParseError("DICTIONARY(stream-length)", data, buf.pos)
+                    stream_length = buf.resolve(stream_length)
+                buffer = buf.next(int(stream_length))
+                m2 = _ENDSTREAM_RE.match(data, buf.pos)
+                if not m2:
+                    raise ParseError("STREAM", data, buf.pos)
+                buf.pos = m2.end()
+                return {"dictionary": value, "buffer": buffer}
+            if data.startswith(b">>", pos):
+                buf.pos = pos + 2
+                return value
+        raise ParseError("DICTIONARY", data, pos)
 
 
 def parse_indirect_object_value(buf: Buf):

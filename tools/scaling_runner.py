@@ -1,0 +1,55 @@
+"""Single-parallelism extraction run for the scaling bench.
+
+Spawned as a subprocess (fresh JVM) by tools/bench_scaling.py:
+    python tools/scaling_runner.py <corpus_dir> <cpus> <trials>
+
+Runs the identical job at local[cpus]: parquet scan -> salted
+repartition(4*cpus) -> mapInPandas extraction -> noop sink, and prints
+one JSON line with per-trial wall seconds (first trial is a discarded
+JVM/codegen warm-up) and docs/sec from the median of the rest.
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pdfi_spark.pipeline import extract_text, make_spark  # noqa: E402
+
+
+def main() -> int:
+    corpus, cpus, trials = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    spark = make_spark(f"scaling-{cpus}", master=f"local[{cpus}]",
+                       shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+
+    documents = spark.read.parquet(corpus)
+    n_docs = documents.count()
+
+    times = []
+    for _ in range(trials + 1):  # +1 warm-up
+        t0 = time.time()
+        extracted = extract_text(documents, payload_col="html", n_partitions=cpus * 4)
+        extracted.select("url", "n_chars", "error").write.mode("overwrite") \
+            .format("noop").save()
+        times.append(round(time.time() - t0, 3))
+    median = statistics.median(times[1:])
+    print(json.dumps({
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "trials": times[1:],
+        "warmup": times[0],
+        "median_sec": median,
+        "docs_per_sec": round(n_docs / median, 1),
+    }), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
