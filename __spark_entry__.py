@@ -128,6 +128,50 @@ _SIMPLE_TRAILER_SIZE = read_pdf(build_pdf("probe text", "simple")[0], type="meta
 _XREFSTREAM_N_XREFS = len(read_pdf(build_pdf("probe text", "xref_stream")[0], type="xref"))
 
 
+def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of extract_flate: readStream over the
+    same synthetic corpus -> mapInPandas extraction -> memory sink, one
+    available-now pass (same oracle as the batch path)."""
+    import tempfile
+    import uuid
+
+    docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
+    input_dir = tempfile.mkdtemp(prefix="pdfi_stream_q_")
+    docs.select(F.col("doc_id").cast("string").alias("url"), "html") \
+        .write.mode("overwrite").parquet(input_dir)
+
+    stream = spark.readStream.schema("url string, html binary").parquet(input_dir)
+    extracted = extract_text(stream, payload_col="html")
+    name = f"extract_streaming_{uuid.uuid4().hex[:8]}"
+    query = (
+        extracted.writeStream.queryName(name).format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_stream_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("url").cast("long").alias("doc_id"), "text"
+    )
+
+
+def _windowed_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfi_spark.streaming import windowed_event_counts
+
+    import uuid
+
+    return windowed_event_counts(
+        spark, sf_dir, query_name=f"windowed_{uuid.uuid4().hex[:8]}"
+    )
+
+
+def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdfi_spark.streaming import sessionize_events
+
+    return sessionize_events(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for recipe in ORACLE_EXPECTED_SQL:
@@ -144,10 +188,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cosine_topk"] = ops.cosine_topk
     out["cosine_adjacent"] = ops.cosine_adjacent_pairs
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    out["ivf_cell_counts"] = ops.ivf_cell_counts
+    out["ivf_topk"] = ops.ivf_topk
     out["lang_stopwords"] = ops.lang_stopword_counts
     out["quality_scores"] = ops.quality_scores
     out["token_counts"] = ops.token_counts
     out["doc_fingerprint"] = ops.doc_fingerprint
+    out["media_metadata"] = ops.media_metadata
+    out["media_feature_summary"] = ops.media_feature_summary
+    out["extract_streaming"] = _extract_streaming_query
+    out["windowed_event_counts"] = _windowed_events_query
+    out["sessionize_events"] = _sessionize_query
     return out
 
 
@@ -183,12 +234,30 @@ def _simhash_sql() -> str:
     )
 
 
-_COSINE_EXPR = (
-    "(round(list_sum(list_transform(range(1, len({a}) + 1), "
+_COSINE_RAW = (
+    "(list_sum(list_transform(range(1, len({a}) + 1), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
     "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
-    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))), 3) + 0.0)"
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE)))))"
 )
+_COSINE_EXPR = "(round(" + _COSINE_RAW + ", 3) + 0.0)"
+
+
+def _ivf_assigned_cte() -> str:
+    """CTE chain reproducing ops.similarity._ivf_assign in SQL: first-8
+    codebook, cross-join cosine, argmax per vector (ties -> centroid_id)."""
+    from pdfi_spark.ops.similarity import N_CENTROIDS
+
+    cos = _COSINE_RAW.format(a="e.embedding", b="c.cvec")
+    return (
+        "WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS}), "
+        "scored AS (SELECT e.vec_id, e.embedding, c.centroid_id, "
+        f"{cos} AS cos_c FROM embeddings e CROSS JOIN cent c), "
+        "assigned AS (SELECT vec_id, embedding, centroid_id FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY cos_c DESC, centroid_id ASC) = 1)"
+    )
 
 
 def _lsh_bucket_expr() -> str:
@@ -284,5 +353,63 @@ def oracle_sql() -> dict[str, str]:
         "list_min(list_transform(range(0, len(string_split(text, ' ')) - 4), "
         "i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))) AS winnow_min "
         "FROM documents WHERE len(string_split(text, ' ')) >= 5"
+    )
+    out["ivf_cell_counts"] = (
+        _ivf_assigned_cte()
+        + " SELECT centroid_id, count(*) AS n_vecs FROM assigned GROUP BY centroid_id"
+    )
+    cos_q = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
+    out["ivf_topk"] = (
+        _ivf_assigned_cte()
+        + ", q AS (SELECT centroid_id AS qcell, embedding AS qvec "
+        "FROM assigned WHERE vec_id = 0) "
+        f"SELECT a.vec_id, (round({cos_q}, 3) + 0.0) AS cosine "
+        "FROM assigned a, q WHERE a.centroid_id = q.qcell AND a.vec_id <> 0 "
+        "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10"
+    )
+    from pdfi_spark.ops.multimodal import MAGIC
+
+    codec_case = "CASE " + " ".join(
+        f"WHEN substr(upper(hex(encode(text))), 1, {len(p.hex())}) = "
+        f"'{p.hex().upper()}' THEN '{name}'"
+        for p, name, _m in MAGIC
+    ) + " ELSE 'unknown' END"
+    out["media_metadata"] = (
+        "SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes, "
+        "upper(substr(hex(encode(text)), 1, 8)) AS magic_hex, "
+        f"{codec_case} AS codec FROM documents"
+    )
+    # text is pure printable ASCII (verified), so char ops == byte ops
+    out["media_feature_summary"] = (
+        "WITH s AS (SELECT doc_id, text, length(text) AS n, "
+        "greatest(1, length(text) // 8) AS stride FROM documents) "
+        "SELECT doc_id, "
+        "(list_sum(list_transform(range(1, stride + 1), "
+        "i -> ord(substr(text, i::INT, 1))))::DOUBLE / stride / 255.0) AS f0, "
+        "4 AS n_frames, (n // 4)::INTEGER AS frame1_offset FROM s"
+    )
+    out["extract_streaming"] = (
+        "SELECT doc_id, "
+        + ORACLE_EXPECTED_SQL["flate"].format(col="text")
+        + " AS text FROM documents"
+    )
+    out["windowed_event_counts"] = (
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+        "count(*) AS n_events, round(sum(value), 6) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+    out["sessionize_events"] = (
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "floor(epoch(ts))::BIGINT AS tsec FROM events), "
+        "f AS (SELECT user_id, event_id, ts, tsec, "
+        "lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM o), "
+        "g AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns FROM f), "
+        "s AS (SELECT user_id, event_id, "
+        "(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq FROM g) "
+        "SELECT user_id, session_seq, count(*) AS n_events, "
+        "min(event_id) AS first_event, max(event_id) AS last_event "
+        "FROM s GROUP BY 1, 2"
     )
     return out

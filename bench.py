@@ -90,10 +90,14 @@ def main() -> int:
         "cosine_topk": ops.cosine_topk,
         "cosine_adjacent": ops.cosine_adjacent_pairs,
         "lsh_ann_buckets": ops.lsh_ann_buckets,
+        "ivf_cell_counts": ops.ivf_cell_counts,
+        "ivf_topk": ops.ivf_topk,
         "lang_stopwords": ops.lang_stopword_counts,
         "quality_scores": ops.quality_scores,
         "token_counts": ops.token_counts,
         "doc_fingerprint": ops.doc_fingerprint,
+        "media_metadata": ops.media_metadata,
+        "media_features": ops.media_features,
     }
     for name, fn in op_queries.items():
         t0 = time.time()

@@ -1,16 +1,26 @@
 """Large-scale training-data operators over the documents/embeddings tables.
 
 Everything here is expressed in DataFrame operations with built-in
-(JVM-side, codegen'd) functions — no Python UDFs in any hot path. Each
-operator has an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
+(JVM-side, codegen'd) functions — no Python UDFs in any hot path except
+the explicitly Arrow-batched multimodal decode stubs. Each operator has
+an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
 from .dedup import dedup_exact, minhash_lsh_buckets, minhash_signatures, simhash, ngram_jaccard_pairs
-from .similarity import cosine_adjacent_pairs, cosine_topk, lsh_ann_buckets
+from .multimodal import media_feature_summary, media_features, media_metadata
+from .similarity import (
+    cosine_adjacent_pairs,
+    cosine_topk,
+    ivf_cell_counts,
+    ivf_topk,
+    lsh_ann_buckets,
+)
 from .textstats import doc_fingerprint, lang_stopword_counts, quality_scores, token_counts
 
 __all__ = [
     "dedup_exact", "minhash_signatures", "minhash_lsh_buckets", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
-    "lsh_ann_buckets", "lang_stopword_counts", "quality_scores",
-    "token_counts", "doc_fingerprint",
+    "lsh_ann_buckets", "ivf_cell_counts", "ivf_topk",
+    "lang_stopword_counts", "quality_scores", "token_counts",
+    "doc_fingerprint", "media_metadata", "media_features",
+    "media_feature_summary",
 ]

@@ -117,3 +117,80 @@ def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         code = term if code is None else code + term
     coded = emb.select("vec_id", code.cast("int").alias("bucket"))
     return coded.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantize -> probe one cell
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 8
+
+
+def _centroids(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
+    """Deterministic centroid stand-in: the first n vectors act as the
+    coarse codebook (production trains k-means over a sample; the
+    assignment/probe machinery below is identical either way)."""
+    return emb.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+
+
+def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
+    """vec_id -> nearest-centroid cell via broadcast cross join + argmax
+    cosine (ties broken by centroid_id). The codebook is tiny, so the
+    assignment is a narrow broadcast map — no shuffle until the final
+    per-cell aggregation; at 10^9+ vectors this is the standard IVF
+    build: one pass, embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(_centroids(emb, n))).select(
+        "vec_id",
+        "embedding",
+        "centroid_id",
+        (
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (_norm(F.col("embedding")) * _norm(F.col("cvec")))
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cos_c")
+    )
+
+
+def ivf_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: cell occupancy histogram."""
+    emb = _emb(spark, sf_dir)
+    return _ivf_assign(emb).groupBy("centroid_id").agg(
+        F.count("*").alias("n_vecs")
+    )
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+             k: int = 10) -> DataFrame:
+    """IVF probe (nprobe=1): search only the query's cell with exact
+    cosine. Turns the brute-force O(N) scan into O(N/cells); the cell
+    filter prunes before any expensive math."""
+    emb = _emb(spark, sf_dir)
+    assigned = _ivf_assign(emb)
+    qcell = assigned.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("centroid_id").alias("qcell"), F.col("embedding").alias("qvec")
+    )
+    probe = (
+        assigned.join(F.broadcast(qcell), F.col("centroid_id") == F.col("qcell"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (
+                F.round(
+                    _dot(F.col("embedding"), F.col("qvec"))
+                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    3,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    return probe.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

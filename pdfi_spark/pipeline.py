@@ -52,6 +52,10 @@ def make_spark(app_name: str = "pdfi_spark", master: str | None = None,
         builder = builder.master(master)
     return (
         builder
+        # measured sweet spot for local-mode extraction on this box: the
+        # 1g default GC-thrashes under 32 concurrent binary Arrow batches,
+        # and 8g+ produced longer pauses (no effect if the JVM is already up)
+        .config("spark.driver.memory", "2g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,127 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch-synchronous (SURVEY.md §2.9), so this
+module is a deliberate Spark-native extension: the same per-document
+extraction runs under ``readStream`` (micro-batch), and the events
+table gets watermarked tumbling-window aggregation — the two shapes a
+continuously-ingesting crawl pipeline needs.
+
+Determinism note: every query here is driven with
+``trigger(availableNow=True)`` against static input, so results equal
+the batch equivalents exactly (the watermark never drops rows within a
+single available-now run) — which is what makes them oracle-checkable.
+"""
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .datagen import DOCUMENTS_SCHEMA
+from .pipeline import extract_text
+
+
+def extract_stream(spark: SparkSession, input_dir: str,
+                   query_name: str = "extract_stream",
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """Streaming twin of the batch pipeline: readStream(parquet) ->
+    mapInPandas extraction -> memory sink, one available-now pass.
+
+    In production the sink is an Iceberg table and the checkpoint dir
+    makes the stream resume-exactly-once; here the memory sink keeps the
+    result inspectable and the checkpoint is still exercised."""
+    stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
+    extracted = extract_text(stream, payload_col="html")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
+    query = (
+        extracted.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str,
+                          window: str = "1 hour",
+                          watermark: str = "10 minutes",
+                          query_name: str = "windowed_event_counts") -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream:
+    count + sum(value) per (window, event_type). The watermark bounds
+    state at scale; with available-now input it drops nothing, so the
+    result equals the batch GROUP BY (the DuckDB oracle)."""
+    # the streaming file source needs a directory: stream the sf_dir with
+    # a glob filter selecting just the events file
+    events = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    checkpoint = tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
+    query = (
+        agg.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(query_name)
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str,
+                      gap_minutes: int = 30) -> DataFrame:
+    """Session windows via the lag -> gap-flag -> running-sum pattern
+    (batch DataFrame; the same sessionization the reference's layout
+    clustering uses per document, SURVEY.md §2.7, applied cross-row).
+    Scale note: partitioned by user_id, so the shuffle is one exchange
+    and sessions never span partitions."""
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ: pin the session tz so the NTZ->LTZ->epoch cast
+    # equals the oracle's naive epoch (gaps are tz-shift-invariant anyway)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tsec = F.col("ts").cast("timestamp_ltz").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = tsec - F.lag(tsec).over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )

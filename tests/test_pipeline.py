@@ -1,0 +1,100 @@
+"""Checkpointed-pipeline tests: bucket commit, kill-and-resume, skew tier.
+
+These verify the north-rule mechanics: per-bucket lineage + metrics, a
+resumed run skipping committed buckets, and correctness over the skewed
+corpus (1% of documents ~50x size) that exercises salted repartitioning.
+"""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfi_spark.datagen import build_documents
+from pdfi_spark.pipeline import (
+    CheckpointStore,
+    extract_text,
+    read_extracted,
+    run_pipeline,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    df = build_documents(spark, SF, recipe="mixed")
+    df.cache().count()
+    return df
+
+
+def test_run_pipeline_commits_all_buckets(spark, documents, tmp_path):
+    out = str(tmp_path / "out")
+    summary = run_pipeline(spark, documents, out, n_buckets=4, wave_size=2)
+    assert summary["buckets_skipped"] == 0
+    assert summary["n_docs"] == documents.count()
+    assert summary["n_errors"] == 0
+
+    store = CheckpointStore(out)
+    metrics = store.metrics()
+    assert {m["bucket"] for m in metrics} == {0, 1, 2, 3}
+    for m in metrics:
+        assert m["n_bytes"] > 0 and m["wall_ms"] >= 0 and m["run_id"] == "run0"
+
+    extracted = read_extracted(spark, out)
+    golden = documents.select("url", F.col("text").alias("expected"))
+    mismatches = (
+        extracted.join(golden, "url")
+        .filter(F.col("text") != F.col("expected"))
+        .count()
+    )
+    assert mismatches == 0
+    assert extracted.count() == documents.count()
+
+
+def test_resume_skips_committed_buckets(spark, documents, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, documents, out, n_buckets=4, wave_size=4)
+
+    # simulate a kill after 2 of 4 bucket commits
+    store = CheckpointStore(out)
+    committed = store.metrics()[:2]
+    with open(store.manifest_path, "w", encoding="utf-8") as f:
+        for row in committed:
+            f.write(json.dumps(row) + "\n")
+
+    summary = run_pipeline(spark, documents, out, run_id="run1",
+                           n_buckets=4, wave_size=4)
+    assert summary["buckets_skipped"] == 2
+    # the resumed run only processed the other two buckets
+    resumed = [m for m in store.metrics() if m["run_id"] == "run1"]
+    assert {m["bucket"] for m in resumed} == {0, 1, 2, 3} - {
+        m["bucket"] for m in committed
+    }
+    # and the final output covers every document exactly once
+    extracted = read_extracted(spark, out)
+    assert extracted.count() == documents.count()
+    assert extracted.select("url").distinct().count() == documents.count()
+
+
+def test_fully_committed_run_is_a_noop(spark, documents, tmp_path):
+    out = str(tmp_path / "out")
+    run_pipeline(spark, documents, out, n_buckets=2)
+    summary = run_pipeline(spark, documents, out, run_id="run2", n_buckets=2)
+    assert summary["buckets_skipped"] == 2
+    assert summary["n_docs"] == 0
+
+
+def test_skewed_corpus_extracts_correctly(spark):
+    docs = build_documents(spark, SF, recipe="mixed", skew=True)
+    extracted = extract_text(docs, payload_col="html", n_partitions=8)
+    golden = docs.select("url", F.col("text").alias("expected"))
+    joined = extracted.join(golden, "url").cache()
+    assert joined.filter(F.col("error").isNotNull()).count() == 0
+    assert joined.filter(F.col("text") != F.col("expected")).count() == 0
+    # the skew tier really is skewed: largest payload >> median
+    sizes = docs.select(F.length("html").alias("n")).agg(
+        F.max("n").alias("mx"), F.percentile_approx("n", 0.5).alias("md")
+    ).collect()[0]
+    assert sizes["mx"] > 10 * sizes["md"]
+    joined.unpersist()
