@@ -86,6 +86,26 @@ def _extract_errors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_corrupt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error containment (north rule: malformed rows must produce error
+    rows, never fail the task — the reference hard-throws instead,
+    /root/reference/parsers/machine.ts:61-64): every 7th payload is
+    truncated to 50 bytes; those rows must yield error!=NULL and the
+    rest extract normally."""
+    docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
+    corrupted = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.expr("substring(html, 1, 50)")
+        ).otherwise(F.col("html")).alias("html"),
+    )
+    extracted = extract_text(corrupted, payload_col="html")
+    return extracted.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("error").isNotNull().alias("is_error"),
+    )
+
+
 def _metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailer metadata probe (readSourceSync type='metadata' analog)."""
     docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
@@ -178,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"extract_{recipe}"] = _extract_query(recipe)
     out["extract_meta"] = _extract_meta_query
     out["extract_errors"] = _extract_errors_query
+    out["extract_corrupt"] = _extract_corrupt_query
     out["trailer_metadata"] = _metadata_query
     out["xref_count"] = _xref_count_query
     out["dedup_exact"] = ops.dedup_exact
@@ -281,6 +302,9 @@ def oracle_sql() -> dict[str, str]:
     )
     out["extract_errors"] = (
         "SELECT count(*) AS n_docs, 0::BIGINT AS n_errors FROM documents"
+    )
+    out["extract_corrupt"] = (
+        "SELECT doc_id, (doc_id % 7 = 0) AS is_error FROM documents"
     )
     out["trailer_metadata"] = (
         f"SELECT doc_id, {_SIMPLE_TRAILER_SIZE} AS trailer_size FROM documents"

@@ -69,10 +69,19 @@ _MODIFICATION_RE = re.compile(
 )
 
 
+# JS /\s/ exactly (reference runs on V8): includes U+FEFF, excludes the
+# C0 separators \x1c-\x1f and NEL \x85 that Python's str \s matches —
+# the difference is visible because C0 stripping happens AFTER flattening
+_JS_WS_RE = re.compile(
+    "[ \\f\\n\\r\\t\\v\\u00a0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000\\ufeff]+"
+)
+
+
 def normalize(raw: str) -> str:
     """Whitespace flatten -> strip C0 controls -> modifier->combiner repair
     -> NFKC (reference encoding/index.ts:103-128)."""
-    flattened = re.sub(r"\s+", " ", raw)
+    flattened = _JS_WS_RE.sub(" ", raw)
     visible = re.sub(r"[\x00-\x1F]", "", flattened)
 
     def repair(m):

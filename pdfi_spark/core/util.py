@@ -31,7 +31,9 @@ class Multiset:
         return self.elements.get(element, 0)
 
 
-_HYPHEN_BREAK_RE = re.compile(r"(\w+)-\n(\w+)")
+# JS /\w/ is ASCII-only; Python's str \w is Unicode — pin to the JS
+# class so accented hyphen-breaks stay unmerged exactly like V8
+_HYPHEN_BREAK_RE = re.compile(r"([A-Za-z0-9_]+)-\n([A-Za-z0-9_]+)")
 
 
 def unwrap_lines(lines: list[str], bag_of_words) -> str:

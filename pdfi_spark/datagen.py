@@ -64,6 +64,12 @@ def build_documents(spark: SparkSession, sf_dir: str, recipe: str = "flate",
                 if skew and doc_id % 100 == 0:
                     big_text = " ".join([text] * 50)
                     pdf, expected = build_pdf(big_text, "multipage", per_block=40)
+                elif recipe == "heavy":
+                    # realistic crawl-document weight: ~30 KB multi-page
+                    # PDFs (~29 ms/doc) so per-doc work dominates fixed
+                    # per-row JVM/Arrow costs, as it does on real corpora
+                    big_text = " ".join([text] * 10)
+                    pdf, expected = build_pdf(big_text, "multipage", per_block=40)
                 elif recipe == "mixed":
                     r = MIXED_RECIPES[doc_id % len(MIXED_RECIPES)]
                     pdf, expected = build_pdf(text, r, per_block=per_block)

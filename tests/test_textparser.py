@@ -85,3 +85,25 @@ def test_swap_endian_even():
 def test_swap_endian_odd():
     assert swap_endian(bytes.fromhex("fffe680065006c006c006f")).hex() == \
         "feff00680065006c006c6f"
+
+
+def test_normalize_js_whitespace_semantics():
+    """JS \\s (V8) vs Python \\s divergences: \\x1c-\\x1f are NOT JS
+    whitespace (they hit the C0 strip instead), \\ufeff IS JS whitespace
+    (reference encoding/index.ts:103-110 uses /\\s+/)."""
+    from pdfi_spark.core.encoding import normalize
+
+    assert normalize("a\x1cb") == "ab"       # C0 separator: stripped, not spaced
+    assert normalize("a﻿b") == "a b"    # BOM: JS whitespace -> flattened
+    assert normalize("a b") == "a b"    # NBSP: whitespace in both
+    assert normalize("a  \t\nb") == "a b"
+
+
+def test_unwrap_lines_ascii_word_class():
+    """JS \\w is ASCII-only: an accented hyphen-break must NOT be merged
+    (reference util.ts:177 /(\\w+)-\\n(\\w+)/g under V8)."""
+    from pdfi_spark.core.util import Multiset, unwrap_lines
+
+    bag = Multiset()
+    assert unwrap_lines(["café-", "bar"], bag) == "café- bar"
+    assert unwrap_lines(["data-", "base"], bag) == "database"
