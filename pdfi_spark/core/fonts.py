@@ -98,6 +98,9 @@ class FontDescriptor:
 class Font:
     """Base font: encoding merge + decode (reference font/index.ts:44-301)."""
 
+    _skip_table: dict | None = None
+    _placeholder_table: dict | None = None
+
     def __init__(self, doc, obj):
         from .doc import NULL_DOC
 
@@ -238,13 +241,31 @@ class Font:
         """bytes -> charCodes -> mapped text; missing codes skipped or
         rendered as \\u{xx} placeholders (reference font/index.ts:238-256)."""
         encoding = self.encoding
+        if encoding["characterByteLength"] == 1:
+            # one C-level translate: byte -> mapped string (None deletes,
+            # mirroring skip_missing), placeholder otherwise
+            table = (
+                self._skip_table if skip_missing else self._placeholder_table
+            )
+            if table is None:
+                mapping = encoding["mapping"]
+                table = {}
+                for code in range(256):
+                    s = mapping.get(code)
+                    if s is not None:
+                        table[code] = s
+                    elif skip_missing:
+                        table[code] = None
+                    else:
+                        table[code] = "\\u{%s}" % format(code, "x")
+                if skip_missing:
+                    self._skip_table = table
+                else:
+                    self._placeholder_table = table
+            return buffer.decode("latin-1").translate(table)
         mapping = encoding["mapping"]
-        codes = (
-            buffer if encoding["characterByteLength"] == 1
-            else read_char_codes(buffer, encoding["characterByteLength"])
-        )
         out = []
-        for char_code in codes:
+        for char_code in read_char_codes(buffer, encoding["characterByteLength"]):
             s = mapping.get(char_code)
             if s is None:
                 out.append("" if skip_missing else "\\u{%s}" % format(char_code, "x"))

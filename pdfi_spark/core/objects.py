@@ -84,16 +84,28 @@ def skip_whitespace(buf: Buf) -> None:
 # String consumers (reference parsers/consumers.ts:47-170)
 # ---------------------------------------------------------------------------
 
+_STR_SPECIAL_RE = re.compile(rb"[()\\]")
+
+
 def consume_string(buf: Buf) -> bytes:
     """Read a (nestable) PDF literal string body; opening '(' already consumed.
 
     Nested strings keep their parens; escapes: \\053 octal, \\n \\r \\f,
     line continuations, and escaped delimiters \\\\ \\( \\) \\[ \\].
+    Plain runs between special bytes are copied wholesale (same output as
+    the reference's byte loop, parsers/consumers.ts:47-127).
     """
     data, out = buf.data, bytearray()
     pos, end = buf.pos, len(buf.data)
     depth = 0
     while pos < end:
+        m = _STR_SPECIAL_RE.search(data, pos)
+        if m is None:
+            pos = end
+            break
+        if m.start() > pos:
+            out += data[pos:m.start()]
+            pos = m.start()
         b = data[pos]
         if b == 0x29:  # )
             if depth == 0:

@@ -135,15 +135,16 @@ def _centroids(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
     )
 
 
-def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
+def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS,
+                codebook_src: DataFrame | None = None) -> DataFrame:
     """vec_id -> nearest-centroid cell via broadcast cross join + argmax
-    cosine (ties broken by centroid_id). The codebook is tiny, so the
-    assignment is a narrow broadcast map — no shuffle until the final
-    per-cell aggregation; at 10^9+ vectors this is the standard IVF
-    build: one pass, embarrassingly parallel."""
-    from pyspark.sql import Window
-
-    scored = emb.crossJoin(F.broadcast(_centroids(emb, n))).select(
+    cosine (ties broken by smaller centroid_id). The codebook is tiny, so
+    scoring is a narrow broadcast map; the argmax is ``max_by`` under
+    groupBy, which partial-aggregates map-side — the shuffle carries one
+    row per vector, not one per (vector, centroid). At 10^9+ vectors this
+    is the standard IVF build: one pass, embarrassingly parallel."""
+    cent = _centroids(codebook_src if codebook_src is not None else emb, n)
+    scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
         "centroid_id",
@@ -152,12 +153,13 @@ def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
             / (_norm(F.col("embedding")) * _norm(F.col("cvec")))
         ).alias("cos_c"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_c"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cos_c")
-    )
+    # lexicographic (cos_c, -centroid_id) == ORDER BY cos_c DESC, centroid ASC
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct(F.col("cos_c"), (-F.col("centroid_id")))
+        ).alias("centroid_id"),
+        F.first("embedding").alias("embedding"),
+    ).select("vec_id", "embedding", "centroid_id")
 
 
 def ivf_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -175,7 +177,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     filter prunes before any expensive math."""
     emb = _emb(spark, sf_dir)
     assigned = _ivf_assign(emb)
-    qcell = assigned.filter(F.col("vec_id") == query_vec_id).select(
+    # assign ONLY the query row on the probe side: filtering before the
+    # cross join keeps this a 1-row plan instead of a second full
+    # assignment pass over all vectors
+    qcell = _ivf_assign(
+        emb.filter(F.col("vec_id") == query_vec_id), codebook_src=emb
+    ).select(
         F.col("centroid_id").alias("qcell"), F.col("embedding").alias("qvec")
     )
     probe = (
