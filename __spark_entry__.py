@@ -148,6 +148,63 @@ _SIMPLE_TRAILER_SIZE = read_pdf(build_pdf("probe text", "simple")[0], type="meta
 _XREFSTREAM_N_XREFS = len(read_pdf(build_pdf("probe text", "xref_stream")[0], type="xref"))
 
 
+WORDS_PER_LINE = 8
+
+
+def _layout_lines_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded-DataFrame layout variant (SURVEY.md §7.0/§2.7 demo):
+    spans become ROWS and line grouping becomes Spark window functions —
+    lag(minY) -> gap flag -> running sum -> session id -> groupBy.
+    Runs on the word-grid recipe whose span geometry is exactly
+    derivable from the input text in plain SQL."""
+    from pyspark.sql import Window
+
+    from pdfi_spark.core.api import extract_spans
+    from pdfi_spark.core.pdfgen import build_pdf
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def spans_batches(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                pdf, _ = build_pdf(text, "word_grid", per_block=WORDS_PER_LINE)
+                for s in extract_spans(pdf):
+                    rows.append({
+                        "doc_id": int(doc_id), "seq": s["seq"],
+                        "min_y": s["minY"], "word": s["text"],
+                    })
+            yield pd.DataFrame(rows, columns=["doc_id", "seq", "min_y", "word"])
+
+    spans = base.mapInPandas(
+        spans_batches, schema="doc_id long, seq int, min_y double, word string"
+    )
+    w = Window.partitionBy("doc_id").orderBy("seq")
+    flagged = spans.withColumn(
+        "new_line",
+        F.when(
+            F.abs(F.col("min_y") - F.lag("min_y").over(w)).isNull()
+            | (F.abs(F.col("min_y") - F.lag("min_y").over(w)) > 5.0),
+            1,
+        ).otherwise(0),
+    )
+    lined = flagged.withColumn(
+        "line_id",
+        F.sum("new_line").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        lined.groupBy("doc_id", "line_id")
+        .agg(
+            F.concat_ws(" ", F.array_sort(
+                F.collect_list(F.struct("seq", "word"))
+            ).getField("word")).alias("line_text"),
+            F.count("*").alias("n_words"),
+        )
+    )
+
+
 def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of extract_flate: readStream over the
     same synthetic corpus -> mapInPandas extraction -> memory sink, one
@@ -220,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_streaming"] = _extract_streaming_query
     out["windowed_event_counts"] = _windowed_events_query
     out["sessionize_events"] = _sessionize_query
+    out["layout_lines_window"] = _layout_lines_window_query
     return out
 
 
@@ -416,6 +474,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ORACLE_EXPECTED_SQL["flate"].format(col="text")
         + " AS text FROM documents"
+    )
+    out["layout_lines_window"] = (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        f"lines AS (SELECT doc_id, unnest(range(0, len(ws), {WORDS_PER_LINE})) AS start, ws FROM s) "
+        f"SELECT doc_id, (start // {WORDS_PER_LINE} + 1)::BIGINT AS line_id, "
+        f"array_to_string(list_slice(ws, start + 1, start + {WORDS_PER_LINE}), ' ') AS line_text, "
+        f"least({WORDS_PER_LINE}, len(ws) - start)::BIGINT AS n_words FROM lines"
     )
     out["windowed_event_counts"] = (
         "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "

@@ -91,3 +91,26 @@ def extract_record(url: str, data: bytes) -> dict:
             "n_chars": None,
             "error": f"{type(exc).__name__}: {exc}",
         }
+
+
+def extract_spans(data: bytes) -> list[dict]:
+    """Pre-clustering TextSpan rows for the exploded-DataFrame layout
+    variant (SURVEY.md §7.0): one dict per positioned span, in emit
+    order, with page/seq identifiers for window ordering."""
+    from .assemble import page_text_spans
+
+    doc = PDFDocument(data)
+    rows = []
+    for page_no, page in enumerate(doc.pages):
+        for seq, s in enumerate(page_text_spans(page)):
+            rows.append({
+                "page": page_no,
+                "seq": seq,
+                "minX": s["minX"],
+                "minY": s["minY"],
+                "maxX": s["maxX"],
+                "maxY": s["maxY"],
+                "fontSize": s["fontSize"],
+                "text": s["text"],
+            })
+    return rows

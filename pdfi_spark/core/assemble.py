@@ -17,10 +17,11 @@ from .layout import group_columns, group_lines, partition_words, split_paragraph
 from .util import Multiset, quantile, unwrap_lines
 
 
-def render_layout(outer_bounds: dict, content_stream_buffer: bytes, resources) -> list[dict]:
-    """Interpret a content stream, flip to a top-left origin, and cluster
-    into paragraphs-of-lines-of-wordgroups-of-spans
-    (reference graphics/index.ts:36-62)."""
+def render_text_spans(outer_bounds: dict, content_stream_buffer: bytes,
+                      resources) -> list[dict]:
+    """Interpret a content stream and flip to a top-left origin: the
+    TextSpan sequence BEFORE clustering (reference graphics/index.ts:36-45).
+    Also the row type of the exploded-DataFrame layout demo (SURVEY §7.0)."""
     text_atoms: list[dict] = []
     context = TextAtomDrawingContext(text_atoms, resources)
     context.apply_content_stream(content_stream_buffer)
@@ -41,6 +42,21 @@ def render_layout(outer_bounds: dict, content_stream_buffer: bytes, resources) -
             "fontBold": font.bold,
             "fontItalic": font.italic,
         })
+    return text_spans
+
+
+def page_text_spans(page) -> list[dict]:
+    """Pre-clustering TextSpans for one page."""
+    media_box = page.media_box
+    outer_bounds = make_rectangle(media_box[0], media_box[1], media_box[2], media_box[3])
+    return render_text_spans(outer_bounds, page.join_contents(b"\n"), page.resources)
+
+
+def render_layout(outer_bounds: dict, content_stream_buffer: bytes, resources) -> list[dict]:
+    """Interpret a content stream, flip to a top-left origin, and cluster
+    into paragraphs-of-lines-of-wordgroups-of-spans
+    (reference graphics/index.ts:36-62)."""
+    text_spans = render_text_spans(outer_bounds, content_stream_buffer, resources)
     lines = group_lines(text_spans)
     line_containers = [
         {

@@ -771,3 +771,24 @@ ORACLE_EXPECTED_SQL: dict[str, str] = {
 }
 
 ORACLE_PER_BLOCK = 1_000_000  # single paragraph => expected == input text
+
+
+def recipe_word_grid(text: str, words_per_line: int = 8) -> tuple[bytes, str]:
+    """One span per WORD on a clean grid: line j at y = PAGE_TOP - j*LEADING,
+    word k at x = PAGE_X + k*60. Purpose-built for the exploded-DataFrame
+    layout demo: the span sequence (and so the lag/cumsum line grouping)
+    is exactly derivable from the input text in plain SQL."""
+    words = [w for w in text.split(" ") if w]
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    for idx, word in enumerate(words):
+        line, col = divmod(idx, words_per_line)
+        x = PAGE_X + col * 60
+        y = PAGE_TOP - line * LEADING
+        ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, _esc(word)))
+    ops.append(b"ET")
+    # full-pipeline expected: one column (line gap 4pt <= 5), one
+    # paragraph (uniform left offsets), words re-joined by spaces
+    return make_single_page(b"\n".join(ops)), "# \n" + " ".join(words)
+
+
+RECIPES["word_grid"] = recipe_word_grid
