@@ -190,9 +190,12 @@ HOST_CEILING_NOTE = (
     "docs/sec on the heavy corpus): the 32-core VM saturates memory "
     "bandwidth well before 4x. Spark's 8 -> 32 result is therefore "
     "measured against a ~0.63 hardware ceiling, not 1.0 — the pipeline "
-    "reaches ~83% of what the host itself can scale. On a real cluster "
-    "the 4N configuration adds machines (and memory channels), which is "
-    "what the 2 -> 8 pair models."
+    "reaches ~84% of what the host itself can scale, and its absolute "
+    "local[32] heavy throughput (4,040 docs/sec) is within 9% of the "
+    "no-framework multiprocessing figure — the Spark layer itself adds "
+    "almost nothing at saturation. On a real cluster the 4N "
+    "configuration adds machines (and memory channels), which is what "
+    "the 2 -> 8 pair models."
 )
 
 
