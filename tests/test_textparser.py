@@ -107,3 +107,24 @@ def test_unwrap_lines_ascii_word_class():
     bag = Multiset()
     assert unwrap_lines(["café-", "bar"], bag) == "café- bar"
     assert unwrap_lines(["data-", "base"], bag) == "database"
+
+
+def test_inline_image_data_consumed_and_ignored():
+    """BI .. ID <raw bytes> EI must consume the raw payload as one
+    endInlineImage op (reference parsers/states.ts:18-34, 167-181) and
+    text around it must still render."""
+    from pdfi_spark.core.content import parse_content_stream
+
+    stream = b"BT (before) Tj ET BI /W 2 /H 2 ID \x00\xff\x10( EI BT (after) Tj ET"
+    ops = parse_content_stream(stream)
+    assert [op["operator"] for op in ops] == [
+        "BT", "Tj", "ET", "BI", "EI", "BT", "Tj", "ET"
+    ]
+    ei = ops[4]
+    assert ei["alias"] == "endInlineImage"
+    # dict params were pushed as operands, raw image bytes captured last
+    # raw payload verbatim incl. surrounding whitespace (the reference's
+    # IMAGEDATA machine also keeps every byte between ID and EI)
+    assert ei["operands"][-1] == b" \x00\xff\x10( "
+    texts = [op["operands"][0] for op in ops if op["operator"] == "Tj"]
+    assert texts == [b"before", b"after"]
