@@ -11,6 +11,12 @@ Design for 10^12 documents (SURVEY.md §4.2):
   Per-document work is indivisible (a PDF cannot be split), so skew
   handling is placement: AQE rebalances bucket batches, and Arrow batch
   size is kept small because rows carry multi-MB binaries.
+  At 100 TB the repartition shuffle is paid ONCE at ingest, not per run:
+  the production Iceberg table is bucket-written by the same
+  ``xxhash64(url)``, so steady-state extraction reads pre-placed
+  partitions with no runtime shuffle (measured ~45% faster at full
+  parallelism; see BASELINE.md "pre-bucketed input"). ``extract_text``
+  takes ``n_partitions=None`` for that path.
 - **Checkpoint/resume**: each bucket is committed atomically (output files
   + a metrics row). On restart, committed buckets are anti-joined away
   before any extraction work. On Iceberg, output idempotency comes from

@@ -16,16 +16,18 @@ Measurement design for a noisy shared-tenancy host:
   trial down, so min() approximates unloaded capability. Medians are
   reported alongside for transparency.
 
-Two pairs are reported:
+Every N -> 4N pair present in the ledger is reported (2->8 and 4->16 sit
+fully below this 32-core box's saturation and model real cluster
+scale-out; 8->32 is saturation-bound — at local[32] the 32 Python
+workers + JVM scan/Arrow threads oversubscribe the box, so it is a
+lower bound, contextualized by a measured pure-multiprocessing host
+ceiling). Two job shapes: --job shuffle (cold input + salted
+repartition) and --job direct (pre-bucketed input, the steady-state
+production-ingest layout); two corpus weights: --style mixed | heavy.
 
-- **2 -> 8 cores** (primary): both levels are far below this 32-core
-  box's capacity, so the measurement reflects framework scaling — what
-  adding executors on a real cluster does — rather than host saturation.
-- **8 -> 32 cores** (saturation-bound): at local[32] the 32 Python
-  workers + JVM scan/Arrow threads oversubscribe the box (a real 4N
-  cluster adds machines instead), so this pair is a lower bound.
-
-Usage: python tools/bench_scaling.py [--trials 4] [--replicate 20]
+Usage: python tools/bench_scaling.py [--trials 4] [--levels 2,8,32]
+                                     [--job shuffle|direct]
+                                     [--style mixed|heavy]
 Writes results into BASELINE.md under '## Measured results'.
 """
 from __future__ import annotations
@@ -44,11 +46,11 @@ sys.path.insert(0, REPO)
 
 
 class Worker:
-    def __init__(self, corpus: str, cpus: int):
+    def __init__(self, corpus: str, cpus: int, job: str = "shuffle"):
         self.cpus = cpus
         self.proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
-             corpus, str(cpus)],
+             corpus, str(cpus), job],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, cwd=REPO, bufsize=1,
         )
@@ -85,6 +87,10 @@ def main() -> int:
     ap.add_argument("--trials", type=int, default=4)
     ap.add_argument("--replicate", type=int, default=20)
     ap.add_argument("--levels", type=str, default="2,8,32")
+    ap.add_argument("--job", choices=["shuffle", "direct"], default="shuffle",
+                    help="shuffle: cold input + salted repartition; direct: "
+                         "pre-bucketed input (no runtime shuffle, the "
+                         "production-ingest layout)")
     ap.add_argument("--style", choices=["mixed", "heavy"], default="mixed",
                     help="mixed: 100k x 1.5KB PDFs; heavy: 5k x 29KB "
                          "multi-page PDFs (~29 ms/doc — the realistic "
@@ -105,7 +111,7 @@ def main() -> int:
         spark.stop()
 
     levels = [int(x) for x in args.levels.split(",")]
-    workers = {cpus: Worker(corpus, cpus) for cpus in levels}
+    workers = {cpus: Worker(corpus, cpus, args.job) for cpus in levels}
     for w in workers.values():
         w.wait_ready()
     n_docs = workers[levels[0]].n_docs
@@ -114,8 +120,10 @@ def main() -> int:
     # best-of basis improves as trials span more (and quieter) windows;
     # each round is committed to the ledger immediately so a timed-out
     # invocation still contributes
+    job_sfx = "" if args.job == "shuffle" else f"_{args.job}"
     ledger = os.path.join(
-        REPO, ".bench", f"scaling_trials_{args.style}_x{args.replicate}.jsonl"
+        REPO, ".bench",
+        f"scaling_trials_{args.style}_x{args.replicate}{job_sfx}.jsonl",
     )
     legacy = os.path.join(REPO, ".bench", "scaling_trials.jsonl")
     if args.style == "mixed" and os.path.exists(legacy) \
@@ -136,13 +144,13 @@ def main() -> int:
                   f"local[{cpus}] {t:.2f}s", flush=True)
     for w in workers.values():
         w.close()
-    all_trials: dict[int, list[float]] = {cpus: [] for cpus in levels}
+    all_trials: dict[int, list[float]] = {}
     with open(ledger) as f:
         for line in f:
             row = json.loads(line)
-            if row["cpus"] in all_trials:
-                all_trials[row["cpus"]].extend(row["trials"])
+            all_trials.setdefault(row["cpus"], []).extend(row["trials"])
     trials = all_trials
+    levels = sorted(all_trials)  # report every level ever measured
 
     results = {}
     for cpus in levels:
@@ -157,8 +165,7 @@ def main() -> int:
         print(f"local[{cpus}]: best {r['best_sec']}s (median {r['median_sec']}s), "
               f"{r['docs_per_sec']} docs/sec", flush=True)
 
-    pairs = [(levels[i], levels[i + 1]) for i in range(len(levels) - 1)
-             if levels[i + 1] == 4 * levels[i]]
+    pairs = [(n, n * 4) for n in levels if n * 4 in results]
     effs = {}
     for n, n4 in pairs:
         eff = (results[n4]["docs_per_sec"] / results[n]["docs_per_sec"]) / 4
@@ -166,7 +173,8 @@ def main() -> int:
         print(f"scaling efficiency {n} -> {n4} cores: {eff:.3f}")
 
     out = {"results": {str(k): v for k, v in results.items()}, "efficiency": effs}
-    with open(os.path.join(REPO, ".bench", f"scaling_{args.style}.json"), "w") as f:
+    with open(os.path.join(REPO, ".bench",
+                           f"scaling_{args.style}{job_sfx}.json"), "w") as f:
         json.dump(out, f, indent=2)
 
     update_baseline_md()
@@ -210,13 +218,19 @@ def update_baseline_md() -> None:
              "(co-tenant interference on this shared host only ever slows a "
              "trial down, so min() approximates unloaded capability); medians "
              "shown for transparency."]
-    for style in ("mixed", "heavy"):
-        path = os.path.join(REPO, ".bench", f"scaling_{style}.json")
+    for style, job in (("mixed", "shuffle"), ("mixed", "direct"),
+                       ("heavy", "shuffle"), ("heavy", "direct")):
+        sfx = "" if job == "shuffle" else "_direct"
+        path = os.path.join(REPO, ".bench", f"scaling_{style}{sfx}.json")
         if not os.path.exists(path):
             continue
         with open(path) as f:
             data = json.load(f)
-        lines += ["", f"### {STYLE_BLURB[style]}", "",
+        job_blurb = (", cold input + salted repartition" if job == "shuffle"
+                     else ", pre-bucketed input / no runtime shuffle (the "
+                          "production-ingest layout: bucket-written by "
+                          "xxhash64(url) once at ingest)")
+        lines += ["", f"### {STYLE_BLURB[style]}{job_blurb}", "",
                   "| cores | best sec | median sec | docs/sec | n trials |",
                   "|---|---|---|---|---|"]
         for cpus, r in sorted(data["results"].items(), key=lambda kv: int(kv[0])):
@@ -226,8 +240,9 @@ def update_baseline_md() -> None:
             )
         lines.append("")
         for pair, eff in data["efficiency"].items():
+            n4 = int(pair.split("->")[1])
             tag = ("**primary pair, both levels below host saturation**"
-                   if pair == "2->8" else
+                   if n4 <= 16 else
                    "saturation-bound lower bound (32 Python workers + JVM "
                    "scan/Arrow threads oversubscribe the 32-core box; a real "
                    "4N cluster adds machines instead)")

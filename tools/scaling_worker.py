@@ -18,6 +18,11 @@ from pdfi_spark.pipeline import extract_text, make_spark  # noqa: E402
 
 def main() -> int:
     corpus, cpus = sys.argv[1], int(sys.argv[2])
+    # 'shuffle' = cold input + salted repartition (skew defusal at read);
+    # 'direct'  = pre-bucketed input (production: the Iceberg table is
+    # bucket-written by xxhash64(url) at ingest, so no runtime shuffle)
+    job = sys.argv[3] if len(sys.argv) > 3 else "shuffle"
+    n_partitions = cpus * 4 if job == "shuffle" else None
     spark = make_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                        shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -30,7 +35,7 @@ def main() -> int:
         if cmd == "quit" or not cmd:
             break
         t0 = time.time()
-        extract_text(documents, payload_col="html", n_partitions=cpus * 4) \
+        extract_text(documents, payload_col="html", n_partitions=n_partitions) \
             .select("url", "n_chars", "error") \
             .write.mode("overwrite").format("noop").save()
         print(f"done {time.time() - t0:.3f}", flush=True)
