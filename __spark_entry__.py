@@ -86,6 +86,45 @@ def _extract_errors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_sections_struct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'paper' output type as a STRUCTURED column:
+    sections array<struct<title, paragraphs>> produced in the UDF, then
+    exploded JVM-side with posexplode (SURVEY.md §1.1 'Paper' mapping)."""
+    docs = build_documents_with_id(
+        spark, sf_dir, "sections_oracle", per_block=ORACLE_PER_BLOCK
+    )
+
+    def probe(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, html in zip(batch["doc_id"], batch["html"]):
+                paper = read_pdf(bytes(html), type="paper")
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "sections": [
+                        {"title": s["title"], "paragraphs": s["paragraphs"]}
+                        for s in paper["sections"]
+                    ],
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "sections"])
+
+    structured = docs.mapInPandas(
+        probe,
+        schema="doc_id long, "
+               "sections array<struct<title: string, paragraphs: array<string>>>",
+    )
+    exploded = structured.select(
+        "doc_id", F.posexplode("sections").alias("section_idx", "sec")
+    )
+    return exploded.select(
+        "doc_id",
+        "section_idx",
+        F.col("sec.title").alias("title"),
+        F.size("sec.paragraphs").alias("n_paragraphs"),
+        F.element_at("sec.paragraphs", 1).alias("first_paragraph"),
+    )
+
+
 def _extract_corrupt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error containment (north rule: malformed rows must produce error
     rows, never fail the task — the reference hard-throws instead,
@@ -256,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_meta"] = _extract_meta_query
     out["extract_errors"] = _extract_errors_query
     out["extract_corrupt"] = _extract_corrupt_query
+    out["extract_sections_struct"] = _extract_sections_struct_query
     out["trailer_metadata"] = _metadata_query
     out["xref_count"] = _xref_count_query
     out["dedup_exact"] = ops.dedup_exact
@@ -363,6 +403,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["extract_corrupt"] = (
         "SELECT doc_id, (doc_id % 7 = 0) AS is_error FROM documents"
+    )
+    out["extract_sections_struct"] = (
+        "SELECT doc_id, 0::INTEGER AS section_idx, 'section 0' AS title, "
+        "1::INTEGER AS n_paragraphs, text AS first_paragraph FROM documents"
     )
     out["trailer_metadata"] = (
         f"SELECT doc_id, {_SIMPLE_TRAILER_SIZE} AS trailer_size FROM documents"
