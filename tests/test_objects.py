@@ -233,3 +233,33 @@ def test_xref_spec_example_3():
             {"object_number": 30, "offset": 25777, "generation_number": 0, "in_use": True},
         ],
     )
+
+
+def test_trailer_merge_oldest_wins_reference_quirk():
+    """The reference pushes trailers newest-first and merges with
+    Object.assign({}, ...objects) — later (older) sources override
+    (/root/reference/models.ts:443-457, incl. its own contradictory
+    comment). Behavior, not the comment, is what byte-identity needs."""
+    from pdfi_spark.core.doc import PDFDocument
+
+    doc = PDFDocument(b"")
+    doc._trailer_objects = [
+        {"Size": 10, "Info": "newest"},
+        {"Size": 8, "Info": "oldest"},
+    ]
+    assert doc.trailer["Info"] == "oldest"
+    assert doc.trailer["Size"] == 8
+
+
+def test_page_mediabox_inherited_from_parent():
+    """MediaBox walks the Parent chain when missing on the leaf
+    (/root/reference/models.ts:140-149,183-189)."""
+    from pdfi_spark.core.doc import Page
+
+    grandparent = {"Type": "Pages", "MediaBox": [0, 0, 612, 792]}
+    parent = {"Type": "Pages", "Parent": grandparent}
+    page = Page(None, {"Type": "Page", "Parent": parent})
+    assert page.media_box == [0, 0, 612, 792]
+
+    own = Page(None, {"Type": "Page", "Parent": parent, "MediaBox": [0, 0, 100, 100]})
+    assert own.media_box == [0, 0, 100, 100]
