@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_cell_counts"] = ops.ivf_cell_counts
     out["ivf_topk"] = ops.ivf_topk
     out["lang_stopwords"] = ops.lang_stopword_counts
+    out["lang_id_ngram"] = ops.lang_id_ngram
     out["quality_scores"] = ops.quality_scores
     out["token_counts"] = ops.token_counts
     out["doc_fingerprint"] = ops.doc_fingerprint
@@ -458,6 +459,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT bucket, count(*) AS n_vecs FROM coded GROUP BY bucket"
     )
     stopword_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    from pdfi_spark.ops.textstats import EN_TRIGRAMS, LANG_ID_THRESHOLD
+
+    tri_hits = " + ".join(
+        f"((length(text) - length(replace(text, '{t}', ''))) / 3)"
+        for t in EN_TRIGRAMS
+    )
+    out["lang_id_ngram"] = (
+        "WITH h AS (SELECT doc_id, lang, (" + tri_hits + ") AS hits, "
+        "greatest(length(text) - 2, 1) AS np FROM documents) "
+        "SELECT doc_id, lang, hits::INTEGER AS n_trigram_hits, "
+        "round(hits / np, 6) AS trigram_score, "
+        f"CASE WHEN round(hits / np, 6) >= {LANG_ID_THRESHOLD} THEN 'en' "
+        "ELSE 'other' END AS lang_guess FROM h"
+    )
     out["lang_stopwords"] = (
         "SELECT doc_id, lang, "
         f"len(list_filter(string_split(text, ' '), w -> w IN ({stopword_list})))::INTEGER AS n_stopwords, "

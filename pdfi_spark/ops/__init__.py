@@ -14,13 +14,19 @@ from .similarity import (
     ivf_topk,
     lsh_ann_buckets,
 )
-from .textstats import doc_fingerprint, lang_stopword_counts, quality_scores, token_counts
+from .textstats import (
+    doc_fingerprint,
+    lang_id_ngram,
+    lang_stopword_counts,
+    quality_scores,
+    token_counts,
+)
 
 __all__ = [
     "dedup_exact", "minhash_signatures", "minhash_lsh_buckets", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "ivf_cell_counts", "ivf_topk",
-    "lang_stopword_counts", "quality_scores", "token_counts",
+    "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "media_metadata", "media_features",
     "media_feature_summary",
 ]

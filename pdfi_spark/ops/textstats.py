@@ -66,3 +66,33 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5"),
         F.array_min(shingle_hashes).alias("winnow_min"),
     )
+
+
+# Common English character trigrams (classic lang-ID profile heads)
+EN_TRIGRAMS = ["the", "he ", " th", "ing", "nd ", " a ", "er ", " of"]
+LANG_ID_THRESHOLD = 0.05  # profile-hit density above which we call 'en'
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram language ID: density of English-profile trigram
+    occurrences over trigram positions, thresholded to a label. Counting
+    uses the length-delta trick (occurrences = (len - len(replace))/3),
+    a pure codegen expression with an exact SQL twin — no UDF, no
+    shuffle; at 100 TB this is a narrow map over the scan."""
+    docs = _docs(spark, sf_dir)
+    hits = None
+    for tri in EN_TRIGRAMS:
+        term = (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(tri)))
+        ) / 3
+        hits = term if hits is None else hits + term
+    n_positions = F.greatest(F.length("text") - 2, F.lit(1))
+    score = F.round(hits / n_positions, 6)
+    return docs.select(
+        "doc_id",
+        "lang",
+        hits.cast("int").alias("n_trigram_hits"),
+        score.alias("trigram_score"),
+        F.when(score >= LANG_ID_THRESHOLD, F.lit("en"))
+        .otherwise(F.lit("other")).alias("lang_guess"),
+    )
