@@ -381,11 +381,14 @@ def _ivf_assigned_cte() -> str:
 
 
 def _lsh_bucket_expr() -> str:
+    from pdfi_spark.ops.similarity import plane_weights
+
     terms = []
     for b in range(LSH_PLANES):
+        wlit = "[" + ", ".join(f"{w}.0" for w in plane_weights(b)) + "]"
         dot = (
             "list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> embedding[i]::DOUBLE * (((('0x' || substr(md5('{b}:' || (i - 1)::VARCHAR), 1, 2))::INT & 1) * 2 - 1))::DOUBLE))"
+            f"i -> embedding[i]::DOUBLE * ({wlit}::DOUBLE[])[i]))"
         )
         terms.append(f"CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END")
     return "(" + " + ".join(terms) + ")::INTEGER"
@@ -510,14 +513,17 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdfi_spark.ops.multimodal import MAGIC
 
+    # prefix-sliced in lockstep with ops.multimodal.media_metadata: hex
+    # only ever sees 4 bytes (text is printable ASCII, so substr == bytes)
+    prefix_hex = "upper(hex(encode(substr(text, 1, 4))))"
     codec_case = "CASE " + " ".join(
-        f"WHEN substr(upper(hex(encode(text))), 1, {len(p.hex())}) = "
+        f"WHEN substr({prefix_hex}, 1, {len(p.hex())}) = "
         f"'{p.hex().upper()}' THEN '{name}'"
         for p, name, _m in MAGIC
     ) + " ELSE 'unknown' END"
     out["media_metadata"] = (
         "SELECT doc_id, octet_length(encode(text))::INTEGER AS n_bytes, "
-        "upper(substr(hex(encode(text)), 1, 8)) AS magic_hex, "
+        f"{prefix_hex} AS magic_hex, "
         f"{codec_case} AS codec FROM documents"
     )
     # text is pure printable ASCII (verified), so char ops == byte ops

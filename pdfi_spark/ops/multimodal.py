@@ -85,17 +85,21 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata payload is utf-8 text bytes; the sniff columns behave
     identically over real media bytes (unit-tested with PDF/PNG magic)."""
     docs = _docs(spark, sf_dir).withColumn("payload", F.encode("text", "utf-8"))
+    # Slice the binary BEFORE hex: hex() materializes a 2x-size string of
+    # the whole blob, so on multi-MB payloads sniffing must only ever touch
+    # the 4-byte prefix. One 8-hex-char column feeds every codec test.
+    prefix_hex = F.upper(F.hex(F.expr("substring(payload, 1, 4)")))
     codec = F.lit("unknown")
     for prefix, name, _modality in reversed(MAGIC):
         hexpfx = prefix.hex().upper()
         codec = F.when(
-            F.substring(F.upper(F.hex("payload")), 1, len(hexpfx)) == hexpfx,
+            F.substring(prefix_hex, 1, len(hexpfx)) == hexpfx,
             F.lit(name),
         ).otherwise(codec)
     return docs.select(
         "doc_id",
         F.length("payload").cast("int").alias("n_bytes"),
-        F.upper(F.substring(F.hex("payload"), 1, 8)).alias("magic_hex"),
+        prefix_hex.alias("magic_hex"),
         codec.alias("codec"),
     )
 

@@ -10,10 +10,24 @@ JVM-side, Arrow-free, codegen'd.
 """
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LSH_PLANES = 8
+LSH_MAX_DIMS = 64  # widest embedding the literal weight arrays cover
+
+
+def plane_weights(plane: int, n_dims: int = LSH_MAX_DIMS) -> list[int]:
+    """The +-1 hyperplane weights for (plane, dim), derived from md5 so
+    any engine can reproduce them. Computed ONCE at plan-build time and
+    shipped as a literal array — the per-row/per-plane/per-dim md5 that
+    used to run inside the aggregate lambda was pure wasted CPU."""
+    return [
+        (int(hashlib.md5(f"{plane}:{i}".encode()).hexdigest()[:2], 16) & 1) * 2 - 1
+        for i in range(n_dims)
+    ]
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,18 +103,14 @@ def cosine_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _plane_sign(embedding, plane: int):
     """Deterministic random-hyperplane sign bit: weight for (plane, dim) is
-    +-1 derived from md5 — reproducible in plain SQL on any engine."""
-    dims = F.sequence(F.lit(0), F.size(embedding) - 1)
-    weighted = F.transform(
-        dims,
-        lambda i: F.element_at(embedding, i + 1).cast("double")
-        * (
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{plane}:"), i.cast("string"))), 1, 2), 16, 10)
-            .cast("int")
-            .bitwiseAND(F.lit(1))
-            * 2
-            - 1
-        ).cast("double"),
+    +-1 derived from md5 (see plane_weights) — reproducible in plain SQL
+    on any engine. The weights ride along as a literal array sliced to the
+    embedding width, so the hot loop is a pure multiply-add."""
+    weights = F.array(*[F.lit(float(w)) for w in plane_weights(plane)])
+    weighted = F.zip_with(
+        embedding,
+        F.slice(weights, F.lit(1), F.size(embedding)),
+        lambda x, w: x.cast("double") * w,
     )
     total = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(total > 0, 1).otherwise(0)

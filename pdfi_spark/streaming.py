@@ -57,39 +57,50 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
     result equals the batch GROUP BY (the DuckDB oracle)."""
     # the streaming file source needs a directory: stream the sf_dir with
     # a glob filter selecting just the events file
-    events = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, "
-            "value double, props string"
+    # Watermarks require an LTZ event-time column, and NTZ-parquet -> LTZ
+    # reinterpretation depends on the session timezone. Pin it to UTC for
+    # exactly the duration of this run (restored in finally — no permanent
+    # session mutation) and emit window_start as TIMESTAMP_NTZ *inside*
+    # the query, so the materialized result is a pure function of the
+    # stored wall-clock values on any host timezone.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        events = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withWatermark("ts", watermark)
         )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withWatermark("ts", watermark)
-    )
-    agg = (
-        events.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
+        agg = (
+            events.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
         )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "sum_value",
+        checkpoint = tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
+        query = (
+            agg.writeStream.queryName(query_name)
+            .format("memory")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
-    )
-    checkpoint = tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
-    query = (
-        agg.writeStream.queryName(query_name)
-        .format("memory")
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(query_name)
+        query.awaitTermination()
+        return spark.table(query_name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str,
@@ -101,11 +112,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     and sessions never span partitions."""
     from pyspark.sql import Window
 
-    # ts is TIMESTAMP_NTZ: pin the session tz so the NTZ->LTZ->epoch cast
-    # equals the oracle's naive epoch (gaps are tz-shift-invariant anyway)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ts is TIMESTAMP_NTZ: derive epoch seconds NTZ-to-NTZ so the value is
+    # a pure function of the stored wall clock — no session-tz mutation,
+    # no DST edge cases on non-UTC hosts
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tsec = F.col("ts").cast("timestamp_ltz").cast("long")
+    tsec = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = tsec - F.lag(tsec).over(w)
     flagged = events.withColumn(
