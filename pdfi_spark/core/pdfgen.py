@@ -544,6 +544,70 @@ def recipe_differences(text: str, per_block: int = 6) -> tuple[bytes, str]:
     return pdf, expected_string(blocks)
 
 
+# a-z -> non-Latin chars reached ONLY through real Adobe-Glyph-List names
+# (Greek, Cyrillic afiiNNNNN, Hebrew, math): exercises the full AGL table,
+# not the uniXXXX escape hatch. Every target is NFKC-stable and outside the
+# modifier-repair ranges so normalize() passes it through untouched.
+GLYPHNAME_TRANSLATE_SRC = "abcdefghijklmnopqrstuvwxyz"
+GLYPHNAME_TARGETS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lambda",
+    "afii10017", "afii10018", "afii10019", "afii10020", "afii10021",
+    "afii10022", "afii10024", "afii10025",
+    "alef", "bet", "gimel",
+    "partialdiff", "infinity", "arrowright", "universal",
+]
+
+
+def _glyphname_table() -> tuple[dict[str, str], str]:
+    """(char -> AGL name for a-z, translate destination string)."""
+    from .encoding.glyphlist import GLYPHLIST
+
+    name_of = dict(zip(GLYPHNAME_TRANSLATE_SRC, GLYPHNAME_TARGETS))
+    dst = "".join(GLYPHLIST[n] for n in GLYPHNAME_TARGETS)
+    return name_of, dst
+
+
+def recipe_glyphnames(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Encoding /Differences overlay with REAL AGL glyph names: a-z map to
+    Greek/Cyrillic/Hebrew/math characters via names like `alpha`,
+    `afii10017`, `alef` (reference resolves them through its bundled AGL,
+    encoding/glyphlist.ts); all other characters go through uniXXXX names
+    as in recipe_differences. Expected output = translate(text)."""
+    name_of, dst = _glyphname_table()
+    trans = str.maketrans(GLYPHNAME_TRANSLATE_SRC, dst)
+    blocks = split_blocks(wrap_text(text), per_block)
+    alphabet = sorted(set("".join(" ".join(b) for b in blocks)))
+    assert len(alphabet) <= 96, "glyphnames recipe supports <=96 distinct chars"
+    code_of = {ch: 128 + i for i, ch in enumerate(alphabet)}
+    differences: list = [128]
+    differences.extend(
+        Name(name_of[ch]) if ch in name_of else Name("uni%04X" % ord(ch))
+        for ch in alphabet
+    )
+    font = base_font_object()
+    font["FirstChar"] = 128
+    font["LastChar"] = 128 + len(alphabet) - 1
+    font["Widths"] = [500] * len(alphabet)
+    font["Encoding"] = {
+        "Type": Name("Encoding"),
+        "BaseEncoding": Name("WinAnsiEncoding"),
+        "Differences": differences,
+    }
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    y = PAGE_TOP
+    for block in blocks:
+        for line in block:
+            encoded = bytes(code_of[ch] for ch in line)
+            ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (PAGE_X, y, _escape_string(encoded)))
+            y -= LEADING
+        y -= BLOCK_GAP - LEADING
+    ops.append(b"ET")
+    pdf = make_single_page(b"\n".join(ops), font_objects={"F1": font})
+    expected_blocks = [[line.translate(trans) for line in b] for b in blocks]
+    return pdf, expected_string(expected_blocks)
+
+
 def recipe_xobject(text: str, per_block: int = 6, depth: int = 1) -> tuple[bytes, str]:
     """P10: the text lives inside a chain of `depth` nested Form XObjects.
     Depth <= 4 renders; deeper chains are skipped by the recursion cap."""
@@ -683,6 +747,7 @@ RECIPES = {
     "xref_stream": recipe_xref_stream,
     "type0_cmap": recipe_type0_cmap,
     "differences": recipe_differences,
+    "glyphnames": recipe_glyphnames,
     "xobject": recipe_xobject,
     "multicolumn": recipe_multicolumn,
     "multipage": recipe_multipage,
@@ -769,6 +834,10 @@ ORACLE_EXPECTED_SQL: dict[str, str] = {
     "multicolumn_oracle": "'# ' || chr(10) || {col} || chr(10) || 'end of document'",
     "sections_oracle": "'# section 0' || chr(10) || {col}",
 }
+ORACLE_EXPECTED_SQL["glyphnames"] = (
+    "'# ' || chr(10) || translate({col}, '%s', '%s')"
+    % (GLYPHNAME_TRANSLATE_SRC, _glyphname_table()[1])
+)
 
 ORACLE_PER_BLOCK = 1_000_000  # single paragraph => expected == input text
 
