@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 from functools import cached_property
 
+from .afm import AFM_DEFAULT_WIDTH, CORE14_WIDTHS
 from .cmap import parse_cmap
 from .encoding import GLYPHMAPS, StandardEncoding, decode_glyphname, expand_differences
 from .encoding.glyphlist import GLYPHLIST
@@ -22,13 +23,10 @@ STANDARD_UNICODE: dict[int, str] = {
     code: GLYPHLIST[name] for code, name in StandardEncoding.items() if name in GLYPHLIST
 }
 
-# Core-14 font metrics. The reference loads the full `afm` package; here the
-# fixed-pitch Courier family is built in (every glyph is 600 units wide per
-# Adobe's public Courier AFMs). Other Core-14 fonts without /Widths raise,
-# like the reference does for non-Core-14 fonts (font/index.ts:410-412).
-_COURIER_NAMES = {
-    "Courier", "Courier-Bold", "Courier-Oblique", "Courier-BoldOblique",
-}
+# Core-14 font metrics: full public Adobe AFM width tables (core/afm.py),
+# matching the reference's `afm` package fallback (font/index.ts:389-411).
+# Non-Core-14 fonts without /Widths raise, like the reference
+# (font/index.ts:410-412).
 
 _BOLD_RE = re.compile(r"bold", re.IGNORECASE)
 _ITALIC_RE = re.compile(r"italic", re.IGNORECASE)
@@ -305,10 +303,16 @@ class Type1Font(Font):
             fd = self.font_descriptor
             missing = fd.get("MissingWidth") if fd else None
             self._default_width = missing or 0
-        elif base_font_name in _COURIER_NAMES:
-            # fixed-pitch Core-14 metrics
+        elif base_font_name in CORE14_WIDTHS:
+            # Core-14 AFM fallback: key by DECODED STRING via the AGL,
+            # exactly like the reference (font/index.ts:402-408
+            # widthMapping[glyphlist[cm.name]] = cm.width; default 1000)
             self._width_mapping = {}
-            self._default_width = 600
+            for glyph_name, width in CORE14_WIDTHS[base_font_name].items():
+                s = GLYPHLIST.get(glyph_name)
+                if s is not None:
+                    self._width_mapping[s] = width
+            self._default_width = AFM_DEFAULT_WIDTH
         else:
             raise ValueError(
                 f"Font[{self.name}] Cannot initialize width mapping for "

@@ -544,6 +544,42 @@ def recipe_differences(text: str, per_block: int = 6) -> tuple[bytes, str]:
     return pdf, expected_string(blocks)
 
 
+# no bold variants here: an all-bold document is folded into a section
+# title by groupSections, which would change the expected structure
+CORE14_RECIPE_FONTS = ["Helvetica", "Times-Roman", "Courier"]
+
+
+def recipe_core14_nowidths(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Type1 font with a Core-14 BaseFont and NO /Widths, /FirstChar,
+    /FontDescriptor: measuring must fall back to the public AFM width
+    tables (reference font/index.ts:389-411; repo core/afm.py) and the
+    encoding to the Standard fallback. Lines are per-word TJ arrays with
+    -300 kern gaps, so every word advance runs through an AFM width sum.
+    The BaseFont is a deterministic function of the text length."""
+    blocks = split_blocks(wrap_text(text), per_block)
+    base = CORE14_RECIPE_FONTS[len(text) % len(CORE14_RECIPE_FONTS)]
+    font = {
+        "Type": Name("Font"),
+        "Subtype": Name("Type1"),
+        "BaseFont": Name(base),
+    }
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    y = PAGE_TOP
+    for block in blocks:
+        for line in block:
+            parts = []
+            for i, word in enumerate(line.split(" ")):
+                if i > 0:
+                    parts.append(b"-300")
+                parts.append(b"(%s)" % _esc(word))
+            ops.append(b"1 0 0 1 %d %d Tm [ %s ] TJ" % (PAGE_X, y, b" ".join(parts)))
+            y -= LEADING
+        y -= BLOCK_GAP - LEADING
+    ops.append(b"ET")
+    pdf = make_single_page(b"\n".join(ops), font_objects={"F1": font})
+    return pdf, expected_string(blocks)
+
+
 # a-z -> non-Latin chars reached ONLY through real Adobe-Glyph-List names
 # (Greek, Cyrillic afiiNNNNN, Hebrew, math): exercises the full AGL table,
 # not the uniXXXX escape hatch. Every target is NFKC-stable and outside the
@@ -748,6 +784,7 @@ RECIPES = {
     "type0_cmap": recipe_type0_cmap,
     "differences": recipe_differences,
     "glyphnames": recipe_glyphnames,
+    "core14_nowidths": recipe_core14_nowidths,
     "xobject": recipe_xobject,
     "multicolumn": recipe_multicolumn,
     "multipage": recipe_multipage,
@@ -834,6 +871,7 @@ ORACLE_EXPECTED_SQL: dict[str, str] = {
     "multicolumn_oracle": "'# ' || chr(10) || {col} || chr(10) || 'end of document'",
     "sections_oracle": "'# section 0' || chr(10) || {col}",
 }
+ORACLE_EXPECTED_SQL["core14_nowidths"] = _DEFAULT_EXPECTED_SQL
 ORACLE_EXPECTED_SQL["glyphnames"] = (
     "'# ' || chr(10) || translate({col}, '%s', '%s')"
     % (GLYPHNAME_TRANSLATE_SRC, _glyphname_table()[1])
