@@ -18,7 +18,13 @@ _TOKEN_RE = re.compile(rb"\S+")
 
 
 def _decode_utf16be(buffer: bytes) -> str:
-    """UTF-16BE decode preserving lone surrogates (JS string semantics)."""
+    """UTF-16BE decode preserving lone surrogates (JS string semantics).
+
+    Valid surrogate PAIRS combine into one astral code point — that is
+    byte-identical to the reference's output once serialized (V8 encodes
+    the pair as the same UTF-8 astral char), but it means Python ``len``
+    diverges from JS ``text.length``; length-sensitive sites must use
+    ``util.utf16_length`` (see showString's charSpacing advance)."""
     if len(buffer) % 2 == 1:
         buffer = buffer[:-1] if len(buffer) > 1 else b""
     return buffer.decode("utf-16-be", errors="surrogatepass")

@@ -14,6 +14,7 @@ import re
 
 from .geometry import MAT3_IDENT, mat3mul
 from .lexing import Buf
+from .util import utf16_length
 from .objects import (
     _WS_BYTES,
     consume_string,
@@ -599,7 +600,10 @@ class TextAtomDrawingContext(DrawingContext):
         height = self.get_text_size()
         width_units = font.measure(buffer)
         text = font.decode_string(buffer, skip_missing=True)
-        nchars = len(text)
+        # UTF-16 code units, not code points: JS text.length counts astral
+        # chars as 2, and charSpacing advances per code unit
+        # (reference graphics/stream.ts:884-886)
+        nchars = utf16_length(text)
         nspaces = text.count(" ")
         self.advance_text_matrix(width_units, nchars, nspaces)
         width = self.get_text_position()[0] - x

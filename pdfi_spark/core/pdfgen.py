@@ -513,6 +513,78 @@ end"""
     return w.build(root_ref), expected_string(blocks)
 
 
+def recipe_astral_cmap(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Type0 font whose ToUnicode CMap maps a-z to ASTRAL characters
+    (MATHEMATICAL BOLD SMALL A.., U+1D41A..) via surrogate-pair bfchar
+    destinations, with a non-zero Tc so the x-advance depends on counting
+    UTF-16 CODE UNITS (2 per astral char — JS text.length semantics,
+    reference graphics/stream.ts:884-886). NFKC in normalize() folds the
+    math-bold letters back to ASCII, so expected == plain text."""
+    blocks = split_blocks(wrap_text(text), per_block)
+    alphabet = sorted(set("".join(" ".join(b) for b in blocks)))
+
+    def target(ch: str) -> str:
+        if "a" <= ch <= "z":
+            return chr(0x1D41A + ord(ch) - ord("a"))
+        return ch
+
+    bfchar_lines = []
+    for ch in alphabet:
+        dest = target(ch).encode("utf-16-be", errors="surrogatepass").hex()
+        bfchar_lines.append(f"<{ord(ch):04x}> <{dest}>".encode())
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Astral-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        + (b"%d beginbfchar\n" % len(bfchar_lines))
+        + b"\n".join(bfchar_lines)
+        + b"\nendbfchar\nendcmap\n"
+        b"CMapName currentdict /CMap defineresource pop\nend\nend"
+    )
+    w = PDFWriter()
+    cmap_ref = w.add_stream({}, cmap)
+    cid_font = {
+        "Type": Name("Font"),
+        "Subtype": Name("CIDFontType2"),
+        "BaseFont": Name("AstralCID"),
+        "CIDSystemInfo": {"Registry": b"Adobe", "Ordering": b"Identity", "Supplement": 0},
+        "DW": 500,
+        "W": [32, 126, 500],
+    }
+    cid_ref = w.add(cid_font)
+    font_ref = w.add({
+        "Type": Name("Font"),
+        "Subtype": Name("Type0"),
+        "BaseFont": Name("AstralCID"),
+        "Encoding": Name("Identity-H"),
+        "DescendantFonts": [cid_ref],
+        "ToUnicode": cmap_ref,
+    })
+    # 0.5 Tc: every glyph advance now includes charSpacing * nchars, and
+    # nchars must be the CODE-UNIT count for astral targets
+    ops = [b"BT /F1 %d Tf 0.5 Tc" % FONT_SIZE]
+    y = PAGE_TOP
+    for block in blocks:
+        for line in block:
+            hexcodes = "".join(format(ord(c), "04x") for c in line)
+            ops.append(b"1 0 0 1 %d %d Tm <%s> Tj" % (PAGE_X, y, hexcodes.encode()))
+            y -= LEADING
+        y -= BLOCK_GAP - LEADING
+    ops.append(b"ET")
+    content_ref = w.add_stream({}, b"\n".join(ops))
+    pages_ref = w.reserve()
+    page_ref = w.add({
+        "Type": Name("Page"),
+        "Parent": pages_ref,
+        "MediaBox": [0, 0, 612, 792],
+        "Resources": {"Font": {"F1": font_ref}},
+        "Contents": content_ref,
+    })
+    w.set(pages_ref, {"Type": Name("Pages"), "Kids": [page_ref], "Count": 1})
+    root_ref = w.add({"Type": Name("Catalog"), "Pages": pages_ref})
+    return w.build(root_ref), expected_string(blocks)
+
+
 def recipe_differences(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """P8: Encoding /Differences overlay with uniXXXX glyph names; bytes
     128+k are remapped to the distinct characters of the text."""
@@ -782,6 +854,7 @@ RECIPES = {
     "filter_chain": recipe_filter_chain,
     "xref_stream": recipe_xref_stream,
     "type0_cmap": recipe_type0_cmap,
+    "astral_cmap": recipe_astral_cmap,
     "differences": recipe_differences,
     "glyphnames": recipe_glyphnames,
     "core14_nowidths": recipe_core14_nowidths,
@@ -872,6 +945,7 @@ ORACLE_EXPECTED_SQL: dict[str, str] = {
     "sections_oracle": "'# section 0' || chr(10) || {col}",
 }
 ORACLE_EXPECTED_SQL["core14_nowidths"] = _DEFAULT_EXPECTED_SQL
+ORACLE_EXPECTED_SQL["astral_cmap"] = _DEFAULT_EXPECTED_SQL
 ORACLE_EXPECTED_SQL["glyphnames"] = (
     "'# ' || chr(10) || translate({col}, '%s', '%s')"
     % (GLYPHNAME_TRANSLATE_SRC, _glyphname_table()[1])

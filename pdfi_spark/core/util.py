@@ -16,6 +16,15 @@ def read_char_codes(buffer: bytes, character_byte_length: int = 1) -> list[int]:
     ]
 
 
+def utf16_length(s: str) -> int:
+    """JS ``String.prototype.length``: UTF-16 code units, so astral
+    characters (> U+FFFF) count as 2. Python strings hold code points, so
+    wherever the reference reads ``text.length`` this must be used
+    instead of ``len`` (e.g. the charSpacing advance in showString,
+    reference graphics/stream.ts:884-886)."""
+    return len(s) + sum(1 for c in s if ord(c) > 0xFFFF)
+
+
 class Multiset:
     """reference util.ts:118-132."""
 

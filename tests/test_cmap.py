@@ -204,3 +204,28 @@ end
             "byteLength": 1,
         },
     )
+
+
+def test_astral_tounicode_counts_utf16_code_units():
+    """charSpacing advances per UTF-16 code unit (JS text.length), so an
+    astral ToUnicode target counts 2 (reference graphics/stream.ts:884-886)."""
+    from pdfi_spark.core.api import extract_spans
+    from pdfi_spark.core.pdfgen import ORACLE_PER_BLOCK, build_pdf
+
+    pdf, _ = build_pdf("ab", "astral_cmap", per_block=ORACLE_PER_BLOCK)
+    spans = extract_spans(pdf)
+    assert len(spans) == 1
+    span = spans[0]
+    assert span["text"] == "\U0001d41a\U0001d41b"
+    # W=500/1000 * 10pt * 2 codes = 10pt, plus Tc 0.5 * 4 CODE UNITS = 2pt
+    assert span["maxX"] - span["minX"] == 12.0
+
+
+def test_astral_cmap_roundtrip_nfkc_folds_to_ascii():
+    from pdfi_spark.core.api import read_pdf
+    from pdfi_spark.core.pdfgen import ORACLE_PER_BLOCK, build_pdf
+
+    pdf, expected = build_pdf("math bold words", "astral_cmap",
+                              per_block=ORACLE_PER_BLOCK)
+    assert expected == "# \nmath bold words"
+    assert read_pdf(pdf, type="string") == expected
