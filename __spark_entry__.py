@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["trailer_metadata"] = _metadata_query
     out["xref_count"] = _xref_count_query
     out["dedup_exact"] = ops.dedup_exact
+    out["dedup_clusters"] = ops.dedup_clusters
     out["minhash_signatures"] = ops.minhash_signatures
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["simhash"] = ops.simhash
@@ -424,6 +425,35 @@ def oracle_sql() -> dict[str, str]:
     )
     out["minhash_signatures"] = (
         _minhash_sig_cte() + " SELECT doc_id, h1, h2, h3, h4 FROM sig"
+    )
+    from pdfi_spark.ops.dedup import JACCARD_THRESHOLD
+
+    out["dedup_clusters"] = (
+        _minhash_sig_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", members AS ("
+        "SELECT 1 AS band, h1::VARCHAR || ':' || h2::VARCHAR AS bucket, doc_id FROM sig "
+        "UNION ALL "
+        "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket, doc_id FROM sig), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM members a JOIN members b USING (band, bucket) "
+        "WHERE a.doc_id < b.doc_id), "
+        "sh AS (SELECT doc_id, list_distinct(list_transform("
+        "range(0, len(string_split(text, ' ')) - 2), "
+        "i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) AS shingles "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        "verified AS (SELECT doc_a, doc_b FROM pairs "
+        "JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b "
+        "WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE / "
+        "len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= "
+        f"{JACCARD_THRESHOLD}), "
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM verified "
+        "UNION ALL SELECT doc_b AS u, doc_a AS v FROM verified), "
+        "reach(src, node) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node) "
+        "SELECT src AS doc_id, min(node) AS cluster_id, "
+        "(min(node) = src) AS is_keeper FROM reach GROUP BY src"
     )
     out["minhash_lsh_buckets"] = (
         _minhash_sig_cte()

@@ -5,7 +5,8 @@ Everything here is expressed in DataFrame operations with built-in
 the explicitly Arrow-batched multimodal decode stubs. Each operator has
 an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
-from .dedup import dedup_exact, minhash_lsh_buckets, minhash_signatures, simhash, ngram_jaccard_pairs
+from .dedup import (dedup_clusters, dedup_exact, minhash_lsh_buckets,
+                    minhash_signatures, ngram_jaccard_pairs, simhash)
 from .multimodal import media_feature_summary, media_features, media_metadata
 from .similarity import (
     cosine_adjacent_pairs,
@@ -23,7 +24,7 @@ from .textstats import (
 )
 
 __all__ = [
-    "dedup_exact", "minhash_signatures", "minhash_lsh_buckets", "simhash",
+    "dedup_exact", "dedup_clusters", "minhash_signatures", "minhash_lsh_buckets", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "ivf_cell_counts", "ivf_topk",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",

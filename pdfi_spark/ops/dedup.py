@@ -92,6 +92,114 @@ def _shingles(col="text", n=3):
     )
 
 
+JACCARD_THRESHOLD = 0.5
+CC_MAX_ITERS = 20
+
+
+def _lsh_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bucket, doc_id) membership rows — the joinable form of
+    minhash_lsh_buckets."""
+    sig = minhash_signatures(spark, sf_dir)
+    b1 = sig.select(
+        F.lit(1).alias("band"), F.concat_ws(":", "h1", "h2").alias("bucket"), "doc_id"
+    )
+    b2 = sig.select(
+        F.lit(2).alias("band"), F.concat_ws(":", "h3", "h4").alias("bucket"), "doc_id"
+    )
+    return b1.unionAll(b2)
+
+
+def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs = docs sharing an LSH band bucket
+    (doc_a < doc_b, distinct across bands). The self-join is keyed on
+    (band, bucket), so its cost is sum(bucket_size^2) — the whole point
+    of LSH banding vs the all-pairs cross join; popular-bucket skew is
+    exactly what AQE skew-join splitting handles."""
+    members = _lsh_members(spark, sf_dir)
+    a = members.alias("a")
+    b = members.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def connected_components(edges: DataFrame, nodes: DataFrame,
+                         max_iters: int = CC_MAX_ITERS) -> DataFrame:
+    """Hash-min label propagation: every node's label converges to the
+    smallest doc_id in its component. Each iteration is one join + one
+    aggregate (both on doc_id); lineage is cut per iteration with
+    localCheckpoint so plans stay flat. Iterations ~ component diameter
+    (near-dup clusters are shallow); at 10^12-doc scale swap the loop
+    body for the large-star/small-star variant, which is the same joins
+    with an extra degree test.
+
+    edges: (u, v) directed both ways; nodes: (doc_id). Returns
+    (doc_id, cluster_id)."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges["v"] == labels["doc_id"])
+            .select(edges["u"].alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data dedup path: LSH candidate pairs -> word-3-gram
+    Jaccard verification (>= 0.5) -> connected components -> keep-list.
+    Every doc gets a cluster_id (= smallest doc_id in its near-dup
+    component; singletons map to themselves) and is_keeper marks the one
+    row per cluster a pipeline would retain."""
+    docs = _docs(spark, sf_dir)
+    pairs = candidate_pairs(spark, sf_dir)
+    sh = (
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", _shingles().alias("shingles"))
+    )
+    verified = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b")), "doc_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= JACCARD_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    edges = verified.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        verified.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    labels = connected_components(edges, docs.select("doc_id"))
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_keeper"),
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard stats between consecutive doc_ids (a linear
     candidate chain keeps this a broadcast-able self-join at test scale;
