@@ -145,6 +145,25 @@ def _extract_corrupt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extract_handmade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-assembled whole-PDF fixtures (tests/fixtures_handmade.py —
+    NOT pdfgen output) through the distributed extraction path: multi-
+    trailer /Prev chain, mismatched-byteLength CMap, indirect /Length,
+    multi-subsection xref. Expected strings are frozen constants."""
+    import os
+    import sys
+
+    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if fixtures_dir not in sys.path:
+        sys.path.insert(0, fixtures_dir)
+    from fixtures_handmade import HANDMADE
+
+    rows = [(name, pdf) for name, (pdf, _expected) in sorted(HANDMADE.items())]
+    docs = spark.createDataFrame(rows, "url string, html binary")
+    extracted = extract_text(docs, payload_col="html")
+    return extracted.select(F.col("url").alias("fixture"), "text")
+
+
 def _metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailer metadata probe (readSourceSync type='metadata' analog)."""
     docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
@@ -296,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_errors"] = _extract_errors_query
     out["extract_corrupt"] = _extract_corrupt_query
     out["extract_sections_struct"] = _extract_sections_struct_query
+    out["extract_handmade"] = _extract_handmade_query
     out["trailer_metadata"] = _metadata_query
     out["xref_count"] = _xref_count_query
     out["dedup_exact"] = ops.dedup_exact
@@ -415,6 +435,22 @@ def oracle_sql() -> dict[str, str]:
     )
     out["trailer_metadata"] = (
         f"SELECT doc_id, {_SIMPLE_TRAILER_SIZE} AS trailer_size FROM documents"
+    )
+
+    def _sq(s: str) -> str:
+        return s.replace("'", "''").replace(chr(10), "' || chr(10) || '")
+
+    import os
+    import sys
+
+    _fx_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if _fx_dir not in sys.path:
+        sys.path.insert(0, _fx_dir)
+    from fixtures_handmade import HANDMADE
+
+    out["extract_handmade"] = " UNION ALL ".join(
+        f"SELECT '{name}' AS fixture, '{_sq(expected)}' AS text"
+        for name, (_pdf, expected) in sorted(HANDMADE.items())
     )
     out["xref_count"] = (
         f"SELECT doc_id, {_XREFSTREAM_N_XREFS} AS n_xrefs FROM documents"

@@ -1,0 +1,34 @@
+"""Whole-PDF fixtures NOT produced by core/pdfgen.py.
+
+Hand-assembled byte layouts (explicit object placement, hand-chosen xref
+subsections, literal offsets) frozen as byte literals, so a shared
+generator/parser misunderstanding of the PDF spec cannot hide here.
+Covers: a multi-trailer incremental-update /Prev chain (newer object
+wins), a mismatched-byteLength CMap (first mapping byteLength wins with
+a warning, reference parsers/states.ts:784-792), an indirect /Length
+stream with comment lines, and a multi-subsection classic xref table
+(PDF32000 7.5.4 layout, reference test/xref.ts:16-163 territory).
+"""
+
+INCREMENTAL_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 52 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (original text) Tj ET\nendstream\nendobj\n5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\nxref\n0 6\n0000000000 65535 f \n0000000009 00000 n \n0000000058 00000 n \n0000000117 00000 n \n0000000245 00000 n \n0000000347 00000 n \ntrailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n837\n%%EOF\n4 0 obj\n<< /Length 56 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (updated text wins) Tj ET\nendstream\nendobj\nxref\n0 1\n0000000000 65535 f \n4 1\n0000001020 00000 n \ntrailer\n<< /Size 6 /Root 1 0 R /Prev 837 >>\nstartxref\n1126\n%%EOF\n'
+
+INCREMENTAL_EXPECTED = '# \nupdated text wins'
+
+MIXEDLEN_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n4 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /MixedCID /Encoding /Identity-H /DescendantFonts [ 6 0 R ] /ToUnicode 7 0 R >>\nendobj\n5 0 obj\n<< /Length 59 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm <00010002000300100011> Tj ET\nendstream\nendobj\n6 0 obj\n<< /Type /Font /Subtype /CIDFontType2 /BaseFont /MixedCID /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> /DW 500 >>\nendobj\n7 0 obj\n<< /Length 311 >>\nstream\n/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n2 begincodespacerange\n<00> <80>\n<0000> <FFFF>\nendcodespacerange\n4 beginbfchar\n<0001> <006d>\n<0002> <0069>\n<0003> <0078>\n<41> <005a>\nendbfchar\n1 beginbfrange\n<0010> <0011> <0065>\nendbfrange\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\nendstream\nendobj\nxref\n0 8\n0000000000 65535 f \n0000000009 00000 n \n0000000058 00000 n \n0000000117 00000 n \n0000000245 00000 n \n0000000380 00000 n \n0000000489 00000 n \n0000000647 00000 n \ntrailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n1009\n%%EOF\n'
+
+MIXEDLEN_EXPECTED = '# \nmixef'
+
+INDIRECT_LENGTH_PDF = b'%PDF-1.3\n% comment line\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 5 0 R >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (indirect length works) Tj ET\nendstream\nendobj\n5 0 obj\n60\nendobj\n6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\nxref\n0 7\n0000000000 65535 f \n0000000024 00000 n \n0000000073 00000 n \n0000000132 00000 n \n0000000260 00000 n \n0000000373 00000 n \n0000000391 00000 n \ntrailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n881\n%%EOF\n'
+
+INDIRECT_LENGTH_EXPECTED = '# \nindirect length works'
+
+MULTISUBSECTION_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 7 0 R >> >> /Contents 6 0 R >>\nendobj\n6 0 obj\n<< /Length 56 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (subsections parse) Tj ET\nendstream\nendobj\n7 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\nxref\n0 1\n0000000000 65535 f \n1 3\n0000000009 00000 n \n0000000058 00000 n \n0000000117 00000 n \n6 2\n0000000245 00000 n \n0000000351 00000 n \ntrailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n841\n%%EOF\n'
+
+MULTISUBSECTION_EXPECTED = '# \nsubsections parse'
+
+HANDMADE = {
+    "incremental": (INCREMENTAL_PDF, INCREMENTAL_EXPECTED),
+    "mixedlen": (MIXEDLEN_PDF, MIXEDLEN_EXPECTED),
+    "indirect_length": (INDIRECT_LENGTH_PDF, INDIRECT_LENGTH_EXPECTED),
+    "multisubsection": (MULTISUBSECTION_PDF, MULTISUBSECTION_EXPECTED),
+}
