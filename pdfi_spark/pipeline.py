@@ -42,7 +42,8 @@ from .core.api import extract_record
 
 EXTRACTED_SCHEMA = "url string, text string, n_pages int, n_chars int, error string"
 METRICS_COLUMNS = [
-    "run_id", "bucket", "n_docs", "n_bytes", "n_errors", "wall_ms", "committed_at",
+    "run_id", "bucket", "n_docs", "n_bytes", "n_errors", "error_rate",
+    "p50_ms", "p99_ms", "wall_ms", "committed_at",
 ]
 
 # Rows carry multi-MB binary payloads; keep Arrow batches small so a batch
@@ -82,7 +83,8 @@ def with_bucket(df: DataFrame, url_col: str = "url", n_buckets: int = 64) -> Dat
 
 def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
                  n_partitions: int | None = None,
-                 passthrough: list[str] | None = None) -> DataFrame:
+                 passthrough: list[str] | None = None,
+                 with_timing: bool = False) -> DataFrame:
     """documents(url, html, ...) -> extracted(url, text, n_pages, n_chars, error).
 
     The per-document library runs batch-at-a-time over Arrow inside
@@ -91,6 +93,9 @@ def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
     passthrough columns are shipped to Python (column pruning keeps the
     scan narrow). Passthrough columns are echoed into the output so no
     re-join against the (binary-heavy) input is ever needed.
+
+    ``with_timing=True`` adds a ``_ms`` column (per-document extraction
+    wall time, measured inside the UDF) for latency-percentile metrics.
     """
     passthrough = passthrough or []
     projected = df.select(
@@ -103,24 +108,31 @@ def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
     out_columns = ["url", "text", "n_pages", "n_chars", "error"]
 
     def extract_batches(iterator):
+        timer = time.perf_counter
         for batch in iterator:
-            records = [
-                extract_record(url, bytes(payload))
-                for url, payload in zip(batch["url"], batch["payload"])
-            ]
+            records = []
+            times = []
+            for url, payload in zip(batch["url"], batch["payload"]):
+                t0 = timer()
+                records.append(extract_record(url, bytes(payload)))
+                times.append((timer() - t0) * 1000.0)
             out = pd.DataFrame.from_records(records, columns=out_columns)
+            if with_timing:
+                out["_ms"] = times
             for col in passthrough:
                 out[col] = batch[col].values
             yield out
 
     schema = EXTRACTED_SCHEMA
+    if with_timing:
+        schema = schema + ", _ms double"
     if passthrough:
         extra = ", ".join(
             f"{field.name} {field.dataType.simpleString()}"
             for field in projected.schema.fields
             if field.name in passthrough
         )
-        schema = EXTRACTED_SCHEMA + ", " + extra
+        schema = schema + ", " + extra
     return projected.mapInPandas(extract_batches, schema=schema)
 
 
@@ -183,35 +195,51 @@ def run_pipeline(spark: SparkSession, documents: DataFrame, output_dir: str,
     todo = [b for b in range(n_buckets) if b not in done]
     wave_size = wave_size or len(todo) or 1
     waves = [todo[i:i + wave_size] for i in range(0, len(todo), wave_size)]
+    from pyspark.sql import Observation
+
     for wave in waves:
         start = time.time()
         part = bucketed.filter(F.col("bucket").isin([int(b) for b in wave]))
         with_size = part.withColumn("_nbytes", F.length(payload_col))
         extracted = extract_text(
-            with_size, payload_col=payload_col, passthrough=["bucket", "_nbytes"]
+            with_size, payload_col=payload_col,
+            passthrough=["bucket", "_nbytes"], with_timing=True,
         )
-        extracted.select("url", "text", "n_pages", "n_chars", "error", "_nbytes", "bucket") \
+        # Per-bucket lineage metrics ride along as OBSERVED aggregates on
+        # the write action itself: the just-written output is never
+        # re-read (at 100 TB a metrics re-scan would double output I/O),
+        # and extraction runs exactly once — no cache, no second job.
+        obs = Observation(f"wave_{wave[0]}")
+        aggs = []
+        for b in wave:
+            onb = F.col("bucket") == int(b)
+            err = onb & F.col("error").isNotNull()
+            aggs.extend([
+                F.sum(F.when(onb, 1).otherwise(0)).alias(f"n_docs_{b}"),
+                F.sum(F.when(onb, F.col("_nbytes")).otherwise(0)).alias(f"n_bytes_{b}"),
+                F.sum(F.when(err, 1).otherwise(0)).alias(f"n_errors_{b}"),
+                F.percentile_approx(F.when(onb, F.col("_ms")), 0.5).alias(f"p50_{b}"),
+                F.percentile_approx(F.when(onb, F.col("_ms")), 0.99).alias(f"p99_{b}"),
+            ])
+        observed = extracted.observe(obs, *aggs)
+        observed.select("url", "text", "n_pages", "n_chars", "error", "_nbytes", "bucket") \
             .write.mode("overwrite").partitionBy("bucket").parquet(output_dir)
         wall_ms = int((time.time() - start) * 1000)
-        written = read_extracted(spark, output_dir).filter(
-            F.col("bucket").isin([int(b) for b in wave])
-        )
-        stats = {
-            r["bucket"]: r
-            for r in written.groupBy("bucket").agg(
-                F.count("*").alias("n_docs"),
-                F.sum("_nbytes").alias("n_bytes"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-            ).collect()
-        }
+        stats = obs.get
         for bucket in wave:
-            r = stats.get(bucket)
+            n_docs = int(stats[f"n_docs_{bucket}"] or 0)
+            n_errors = int(stats[f"n_errors_{bucket}"] or 0)
+            p50 = stats[f"p50_{bucket}"]
+            p99 = stats[f"p99_{bucket}"]
             row = {
                 "run_id": run_id,
                 "bucket": int(bucket),
-                "n_docs": int(r["n_docs"]) if r else 0,
-                "n_bytes": int(r["n_bytes"] or 0) if r else 0,
-                "n_errors": int(r["n_errors"] or 0) if r else 0,
+                "n_docs": n_docs,
+                "n_bytes": int(stats[f"n_bytes_{bucket}"] or 0),
+                "n_errors": n_errors,
+                "error_rate": (n_errors / n_docs) if n_docs else 0.0,
+                "p50_ms": round(float(p50), 3) if p50 is not None else None,
+                "p99_ms": round(float(p99), 3) if p99 is not None else None,
                 "wall_ms": wall_ms,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }

@@ -40,6 +40,10 @@ def test_run_pipeline_commits_all_buckets(spark, documents, tmp_path):
     assert {m["bucket"] for m in metrics} == {0, 1, 2, 3}
     for m in metrics:
         assert m["n_bytes"] > 0 and m["wall_ms"] >= 0 and m["run_id"] == "run0"
+        # observed latency/error metrics (computed on the write action,
+        # never by re-reading the output)
+        assert m["error_rate"] == 0.0
+        assert m["p50_ms"] > 0 and m["p99_ms"] >= m["p50_ms"]
 
     extracted = read_extracted(spark, out)
     golden = documents.select("url", F.col("text").alias("expected"))
