@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_handmade"] = _extract_handmade_query
     out["trailer_metadata"] = _metadata_query
     out["xref_count"] = _xref_count_query
+    out["nation_revenue_topk"] = ops.nation_revenue_topk
     out["dedup_exact"] = ops.dedup_exact
     out["dedup_clusters"] = ops.dedup_clusters
     out["minhash_signatures"] = ops.minhash_signatures
@@ -454,6 +455,22 @@ def oracle_sql() -> dict[str, str]:
     )
     out["xref_count"] = (
         f"SELECT doc_id, {_XREFSTREAM_N_XREFS} AS n_xrefs FROM documents"
+    )
+    from pdfi_spark.ops.relational import MKT_SEGMENT, TOP_K
+
+    out["nation_revenue_topk"] = (
+        "WITH per_order AS (SELECT l_orderkey, "
+        "sum(round(l_extendedprice * 100)::BIGINT * (100 - round(l_discount * 100)::BIGINT))::BIGINT AS rev "
+        "FROM lineitem GROUP BY l_orderkey), "
+        "per_cust AS (SELECT o_custkey, sum(rev)::BIGINT AS rev, count(*) AS n_orders "
+        "FROM per_order JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey), "
+        "per_nation AS (SELECT c_nationkey, sum(rev)::BIGINT AS revenue_cp, "
+        "sum(n_orders)::BIGINT AS n_orders, count(*) AS n_customers "
+        "FROM per_cust JOIN customer ON o_custkey = c_custkey "
+        f"WHERE c_mktsegment = '{MKT_SEGMENT}' GROUP BY c_nationkey) "
+        "SELECT n_name, revenue_cp, n_orders, n_customers "
+        "FROM per_nation JOIN nation ON c_nationkey = n_nationkey "
+        f"ORDER BY revenue_cp DESC, n_name ASC LIMIT {TOP_K}"
     )
     out["dedup_exact"] = (
         "SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS dedup_key, "

@@ -1,0 +1,76 @@
+"""Cross-document relational demo over the TPC-H-style driver tables.
+
+The reference engine is strictly per-document (SURVEY.md §2.9 — pdfi has
+no joins), so this module is a Spark-native extension showing the join
+shapes a corpus-metadata warehouse needs, with the plan a 100 TB run
+wants:
+
+- lineitem is PARTIALLY AGGREGATED to per-order revenue before any join
+  (map-side combine -> the orderkey shuffle carries one row per order,
+  not one per line item);
+- the customer filter (mktsegment) is pushed into the parquet scan;
+- the nation dimension joins via an explicit broadcast() — no shuffle
+  for the 25-row side;
+- revenue is computed in integer cent-percent units
+  (round(price*100) * (100 - round(discount*100))) so sums are exact
+  and engine-order-independent (a float sum would drift in the last
+  bits between engines and row orders).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 5
+MKT_SEGMENT = "BUILDING"
+
+
+def _rev_cents(price_col: str = "l_extendedprice", disc_col: str = "l_discount"):
+    price_c = F.round(F.col(price_col) * 100, 0).cast("long")
+    disc_pct = F.round(F.col(disc_col) * 100, 0).cast("long")
+    return price_c * (F.lit(100) - disc_pct)
+
+
+def nation_revenue_topk(spark: SparkSession, sf_dir: str,
+                        segment: str = MKT_SEGMENT, k: int = TOP_K) -> DataFrame:
+    """Top-k nations by lineitem revenue from customers in one market
+    segment: lineitem -> orders -> customer -> broadcast(nation)."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == segment)   # pushed to the scan
+        .select("c_custkey", "c_nationkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    per_order = (
+        lineitem.select("l_orderkey", _rev_cents().alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    per_cust = (
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"), F.count("*").alias("n_orders"))
+    )
+    per_nation = (
+        per_cust.join(customer, per_cust["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("rev").alias("revenue_cp"),
+            F.sum("n_orders").alias("n_orders"),
+            F.count("*").alias("n_customers"),
+        )
+    )
+    result = (
+        per_nation.join(
+            F.broadcast(nation),
+            per_nation["c_nationkey"] == nation["n_nationkey"],
+        )
+        .select("n_name", "revenue_cp", "n_orders", "n_customers")
+    )
+    return result.orderBy(F.desc("revenue_cp"), F.asc("n_name")).limit(k)
