@@ -190,21 +190,45 @@ STYLE_BLURB = {
              "dominates fixed per-row costs)",
 }
 
-HOST_CEILING_NOTE = (
-    "Host context for the saturation-bound pair: PURE-PYTHON "
-    "multiprocessing (no Spark at all — 32 processes reading the same "
-    "parquet files and extracting) achieves only **0.631** scaling "
-    "efficiency from 8 -> 32 processes on this box (1,741 -> 4,394 "
-    "docs/sec on the heavy corpus): the 32-core VM saturates memory "
-    "bandwidth well before 4x. Spark's 8 -> 32 result is therefore "
-    "measured against a ~0.63 hardware ceiling, not 1.0 — the pipeline "
-    "reaches ~84% of what the host itself can scale, and its absolute "
-    "local[32] heavy throughput (4,040 docs/sec) is within 9% of the "
-    "no-framework multiprocessing figure — the Spark layer itself adds "
-    "almost nothing at saturation. On a real cluster the 4N "
-    "configuration adds machines (and memory channels), which is what "
-    "the 2 -> 8 pair models."
-)
+def host_ceiling_note() -> str:
+    """Host-context paragraph with every figure interpolated from the
+    measured ledgers (.bench/mp_baseline.json from tools/bench_mp_control.py
+    + the heavy scaling JSON), so the prose cannot drift from the tables."""
+    mp_path = os.path.join(REPO, ".bench", "mp_baseline.json")
+    heavy_path = os.path.join(REPO, ".bench", "scaling_heavy.json")
+    if not (os.path.exists(mp_path) and os.path.exists(heavy_path)):
+        return ("Host context: run `python tools/bench_mp_control.py` to "
+                "measure the pure-multiprocessing ceiling for the "
+                "saturation-bound pair.")
+    with open(mp_path) as f:
+        mp_data = json.load(f)
+    with open(heavy_path) as f:
+        heavy = json.load(f)
+    mp_eff = mp_data["efficiency"].get("8->32")
+    mp8 = mp_data["results"]["8"]["docs_per_sec"]
+    mp32 = mp_data["results"]["32"]["docs_per_sec"]
+    spark_eff = heavy["efficiency"].get("8->32")
+    spark32 = heavy["results"]["32"]["docs_per_sec"]
+    rel = round(100 * spark_eff / mp_eff) if mp_eff else 0
+    gap = round(100 * (1 - spark32 / mp32)) if mp32 else 0
+    gap_txt = (f"is within {gap}% of" if gap >= 0 else
+               f"exceeds by {-gap}%")
+    return (
+        "Host context for the saturation-bound pair: PURE-PYTHON "
+        "multiprocessing (no Spark at all — N processes splitting the same "
+        f"parquet files and extracting) achieves only **{mp_eff}** scaling "
+        f"efficiency from 8 -> 32 processes on this box ({mp8:,.0f} -> "
+        f"{mp32:,.0f} docs/sec on the heavy corpus): the 32-core VM "
+        "saturates memory bandwidth well before 4x. Spark's 8 -> 32 result "
+        f"({spark_eff}) is therefore measured against a ~{mp_eff} hardware "
+        f"ceiling, not 1.0 — the pipeline reaches ~{rel}% of what the host "
+        f"itself can scale, and its absolute local[32] heavy throughput "
+        f"({spark32:,.0f} docs/sec) {gap_txt} the no-framework "
+        "multiprocessing figure. On a real cluster the 4N configuration "
+        "adds machines (and memory channels), which is what the 2 -> 8 "
+        "pair models. (Figures interpolated from .bench/mp_baseline.json "
+        "and .bench/scaling_heavy.json by tools/bench_scaling.py.)"
+    )
 
 
 def update_baseline_md() -> None:
@@ -247,7 +271,7 @@ def update_baseline_md() -> None:
                    "scan/Arrow threads oversubscribe the 32-core box; a real "
                    "4N cluster adds machines instead)")
             lines.append(f"- Scaling efficiency {pair} cores: **{eff}** ({tag})")
-    lines += ["", HOST_CEILING_NOTE, ""]
+    lines += ["", host_ceiling_note(), ""]
     block = "\n".join(lines)
 
     path = os.path.join(REPO, "BASELINE.md")
