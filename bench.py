@@ -116,6 +116,8 @@ def main() -> int:
         "doc_fingerprint": ops.doc_fingerprint,
         "media_metadata": ops.media_metadata,
         "media_features": ops.media_features,
+        "dedup_clusters": ops.dedup_clusters,
+        "nation_revenue_topk": ops.nation_revenue_topk,
     }
     for name, fn in op_queries.items():
         t0 = time.time()

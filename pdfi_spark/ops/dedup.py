@@ -203,7 +203,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard stats between consecutive doc_ids (a linear
     candidate chain keeps this a broadcast-able self-join at test scale;
-    production pairing comes from the LSH buckets above)."""
+    the production bucket->pair->verify->cluster path is materialized in
+    ``dedup_clusters`` above)."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
     sh = docs.select("doc_id", _shingles().alias("shingles"))
     right = sh.select(
