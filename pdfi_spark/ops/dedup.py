@@ -44,13 +44,24 @@ def _doc_words(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-permutation MinHash over the distinct word set of each document."""
-    words = _doc_words(_docs(spark, sf_dir)).distinct()
-    aggs = [
-        F.min(_hash32(F.concat(F.col("word"), F.lit(seed)))).alias(f"h{i + 1}")
-        for i, seed in enumerate(MINHASH_SEEDS)
-    ]
-    return words.groupBy("doc_id").agg(*aggs)
+    """4-permutation MinHash over the distinct word set of each document,
+    computed as a NARROW per-row map: array_distinct for the word set,
+    array_min over a transform for each permutation. NO explode and NO
+    shuffle — the signature never leaves the row (an explode+groupBy
+    formulation shuffles one row per word: a 10^15-row exchange at 10^12
+    docs; this plan exchanges nothing)."""
+    docs = _docs(spark, sf_dir)
+    words = F.array_distinct(F.split("text", " "))
+
+    def perm_min(seed: str):
+        # single-arg lambda from a closure: a two-arg lambda would be
+        # treated by transform() as (element, index)
+        return F.array_min(
+            F.transform(words, lambda w: _hash32(F.concat(w, F.lit(seed))))
+        )
+
+    cols = [perm_min(seed).alias(f"h{i + 1}") for i, seed in enumerate(MINHASH_SEEDS)]
+    return docs.select("doc_id", *cols)
 
 
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,22 +74,42 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash with word-frequency weights: per-bit sign aggregation
-    of md5-derived word hashes."""
-    words = _doc_words(_docs(spark, sf_dir))
-    hashed = words.select("doc_id", _hash32(F.col("word")).alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(*bit_aggs)
-    sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+    """32-bit SimHash with word-frequency weights, computed as a NARROW
+    per-row fold: hash each word once (transform), accumulate the 32
+    per-bit +-1 counts with aggregate/zip_with, recombine sign bits —
+    all inside the row, no explode shuffle (same 10^15-row-exchange
+    argument as minhash_signatures)."""
+    docs = _docs(spark, sf_dir)
+    hashes = F.transform(F.split("text", " "), lambda w: _hash32(w))
+    bit_counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                # shiftright needs a literal shift, so test bit b with a
+                # column bitmask 2^b instead (exact: b <= 31)
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda b: F.when(
+                    h.bitwiseAND(
+                        F.pow(F.lit(2.0), b.cast("double")).cast("long")
+                    ) != 0,
+                    F.lit(1),
+                ).otherwise(F.lit(-1)).cast("long"),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
+    sim = F.aggregate(
+        F.zip_with(
+            bit_counts, powers,
+            lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select("doc_id", sim.alias("simhash"))
 
 
 def _shingles(col="text", n=3):
