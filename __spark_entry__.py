@@ -328,7 +328,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cosine_topk"] = ops.cosine_topk
     out["cosine_adjacent"] = ops.cosine_adjacent_pairs
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
     out["ivf_cell_counts"] = ops.ivf_cell_counts
+    out["ivf_train_cells"] = ops.ivf_train_cells  # iterative k-means: rows-only check, no SQL twin
     out["ivf_topk"] = ops.ivf_topk
     out["lang_stopwords"] = ops.lang_stopword_counts
     out["lang_id_ngram"] = ops.lang_id_ngram
@@ -543,6 +545,14 @@ def oracle_sql() -> dict[str, str]:
     out["lsh_ann_buckets"] = (
         f"WITH coded AS (SELECT vec_id, {_lsh_bucket_expr()} AS bucket FROM embeddings) "
         "SELECT bucket, count(*) AS n_vecs FROM coded GROUP BY bucket"
+    )
+    cos_ab = _COSINE_EXPR.format(a="a.embedding", b="b.embedding")
+    out["embedding_neardup_topk"] = (
+        f"WITH coded AS (SELECT vec_id, embedding, {_lsh_bucket_expr()} AS bucket FROM embeddings) "
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"{cos_ab} AS cosine "
+        "FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+        "ORDER BY cosine DESC, vec_a ASC, vec_b ASC LIMIT 10"
     )
     stopword_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     from pdfi_spark.ops.textstats import EN_TRIGRAMS, LANG_ID_THRESHOLD

@@ -12,6 +12,9 @@ from .relational import nation_revenue_topk
 from .similarity import (
     cosine_adjacent_pairs,
     cosine_topk,
+    embedding_neardup_topk,
+    ivf_train_cells,
+    kmeans_codebook,
     ivf_cell_counts,
     ivf_topk,
     lsh_ann_buckets,
@@ -27,7 +30,7 @@ from .textstats import (
 __all__ = [
     "dedup_exact", "dedup_clusters", "minhash_signatures", "minhash_lsh_buckets", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
-    "lsh_ann_buckets", "ivf_cell_counts", "ivf_topk",
+    "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "media_metadata", "media_features",
     "media_feature_summary", "nation_revenue_topk",

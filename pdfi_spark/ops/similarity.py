@@ -116,17 +116,60 @@ def _plane_sign(embedding, plane: int):
     return F.when(total > 0, 1).otherwise(0)
 
 
+def _lsh_code(embedding) -> object:
+    """8-plane sign-bit bucket code as a column expression."""
+    code = None
+    for b in range(LSH_PLANES):
+        term = _plane_sign(embedding, b) * (1 << b)
+        code = term if code is None else code + term
+    return code.cast("int")
+
+
 def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
     -> bucket code; report bucket occupancy. ANN probe = exact cosine
     within the query's bucket (and neighboring codes for recall)."""
     emb = _emb(spark, sf_dir)
-    code = None
-    for b in range(LSH_PLANES):
-        term = _plane_sign(F.col("embedding"), b) * (1 << b)
-        code = term if code is None else code + term
-    coded = emb.select("vec_id", code.cast("int").alias("bucket"))
+    coded = emb.select("vec_id", _lsh_code(F.col("embedding")).alias("bucket"))
     return coded.groupBy("bucket").agg(F.count("*").alias("n_vecs"))
+
+
+def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Embedding-cosine near-dup candidates at the LSH-bucket scale shape:
+    exact cosine is computed ONLY within each hyperplane bucket (the
+    self-join is keyed on the bucket code, so cost is sum(bucket^2), not
+    N^2), then the top-k most-similar pairs come back. In a production
+    dedup run the ORDER BY/LIMIT becomes `WHERE cosine >= threshold`
+    feeding dedup.connected_components; the driver's synthetic embeddings
+    are random (max within-bucket cosine ~0.45), so a fixed threshold
+    would select nothing to verify — top-k keeps the oracle non-trivial."""
+    emb = _emb(spark, sf_dir)
+    coded = emb.select(
+        "vec_id", "embedding", _lsh_code(F.col("embedding")).alias("bucket")
+    )
+    a = coded.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = coded.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            (
+                F.round(
+                    _dot(F.col("emb_a"), F.col("emb_b"))
+                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                    3,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    return pairs.orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b")).limit(k)
 
 
 # ---------------------------------------------------------------------------
@@ -145,15 +188,71 @@ def _centroids(emb: DataFrame, n: int = N_CENTROIDS) -> DataFrame:
     )
 
 
+def kmeans_codebook(emb: DataFrame, n: int = N_CENTROIDS,
+                    iters: int = 2) -> DataFrame:
+    """Deterministic Lloyd iterations over the embedding column:
+    init = first-n vectors, assign by cosine against the broadcast
+    codebook, new centroid = element-wise mean of its members. The mean
+    uses posexplode(dim) -> avg: avg partial-aggregates map-side, so the
+    shuffle carries (n_centroids x n_dims) partial rows per task, not
+    (vectors x dims) — the textbook distributed k-means step. Returns
+    (centroid_id, cvec); empty cells keep their previous centroid."""
+    cent = _centroids(emb, n)
+    for _ in range(iters):
+        assigned = _ivf_assign(emb, n, centroids=cent)
+        dims = assigned.select(
+            "centroid_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("v").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).getField("m").alias("new_cvec")
+            )
+        )
+        cent = (
+            cent.join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(
+                    F.col("new_cvec").cast("array<float>"), F.col("cvec")
+                ).alias("cvec"),
+            )
+        )
+    return cent
+
+
+def ivf_train_cells(spark: SparkSession, sf_dir: str,
+                    iters: int = 2) -> DataFrame:
+    """IVF build with a TRAINED codebook (2 Lloyd iterations) instead of
+    the first-n stand-in: cell occupancy per trained centroid. Iterative
+    + float-mean-dependent, so this query takes the driver's rows-only
+    check (no closed-form SQL twin); exactness is pinned by
+    tests/test_kmeans.py on hand-computable inputs."""
+    emb = _emb(spark, sf_dir)
+    codebook = kmeans_codebook(emb, iters=iters)
+    assigned = _ivf_assign(emb, centroids=codebook)
+    return assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vecs"))
+
+
 def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS,
-                codebook_src: DataFrame | None = None) -> DataFrame:
+                codebook_src: DataFrame | None = None,
+                centroids: DataFrame | None = None) -> DataFrame:
     """vec_id -> nearest-centroid cell via broadcast cross join + argmax
     cosine (ties broken by smaller centroid_id). The codebook is tiny, so
     scoring is a narrow broadcast map; the argmax is ``max_by`` under
     groupBy, which partial-aggregates map-side — the shuffle carries one
     row per vector, not one per (vector, centroid). At 10^9+ vectors this
-    is the standard IVF build: one pass, embarrassingly parallel."""
-    cent = _centroids(codebook_src if codebook_src is not None else emb, n)
+    is the standard IVF build: one pass, embarrassingly parallel.
+    ``centroids`` supplies an explicit (centroid_id, cvec) codebook
+    (e.g. from kmeans_codebook); else first-n of ``codebook_src``/emb."""
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent = _centroids(codebook_src if codebook_src is not None else emb, n)
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "embedding",
