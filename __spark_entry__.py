@@ -301,6 +301,16 @@ def _windowed_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_dedup_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pdfi_spark.streaming import streaming_dedup_state
+
+    return streaming_dedup_state(
+        spark, sf_dir, query_name=f"dedup_state_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfi_spark.streaming import sessionize_events
 
@@ -342,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_streaming"] = _extract_streaming_query
     out["windowed_event_counts"] = _windowed_events_query
     out["sessionize_events"] = _sessionize_query
+    out["streaming_dedup_state"] = _streaming_dedup_state_query
     out["layout_lines_window"] = _layout_lines_window_query
     return out
 
@@ -644,6 +655,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
         "count(*) AS n_events, round(sum(value), 6) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    )
+    out["streaming_dedup_state"] = (
+        "SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS dedup_key, "
+        "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"
     )
     out["sessionize_events"] = (
         "WITH o AS (SELECT user_id, event_id, ts, "

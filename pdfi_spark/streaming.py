@@ -103,6 +103,76 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
 
 
+def streaming_dedup_state(spark: SparkSession, sf_dir: str,
+                          query_name: str = "streaming_dedup_state",
+                          n_input_files: int = 4) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (applyInPandasWithState): a
+    first-seen dedup ledger keyed on the 5-word-prefix dedup key. Each
+    micro-batch updates per-key GroupState (running count + smallest
+    doc_id); the input is split into several files with
+    maxFilesPerTrigger=1, so state genuinely persists ACROSS micro-batches
+    (an availableNow run executes n_input_files sequential batches).
+    The final ledger equals the batch dedup_exact aggregate — which is
+    what makes this oracle-checkable. State is bounded by distinct keys;
+    at crawl scale a TTL timeout (GroupStateTimeout) ages out cold keys."""
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("dedup_key"),
+        "doc_id",
+    )
+    input_dir = tempfile.mkdtemp(prefix="pdfi_dedup_state_in_")
+    docs.repartition(n_input_files).write.mode("overwrite").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema("dedup_key string, doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            count, min_id = state.get
+        else:
+            count, min_id = 0, None
+        for pdf in pdfs:
+            count += len(pdf)
+            batch_min = int(pdf["doc_id"].min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((count, min_id))
+        yield pd.DataFrame(
+            [{"dedup_key": key[0], "n_dups": count, "keep_id": min_id}]
+        )
+
+    updates = stream.groupBy("dedup_key").applyInPandasWithState(
+        update,
+        outputStructType="dedup_key string, n_dups long, keep_id long",
+        stateStructType="count long, min_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = tempfile.mkdtemp(prefix="pdfi_dedup_state_ckpt_")
+    query = (
+        updates.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # the memory sink holds one row per key PER BATCH that touched it;
+    # the final ledger row per key is the max count / min keep_id
+    return (
+        spark.table(query_name)
+        .groupBy("dedup_key")
+        .agg(F.max("n_dups").alias("n_dups"), F.min("keep_id").alias("keep_id"))
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30) -> DataFrame:
     """Session windows via the lag -> gap-flag -> running-sum pattern

@@ -72,3 +72,26 @@ def test_sessionize_events_gap_semantics(spark):
         1 for a, b in zip(rows, rows[1:]) if b["tsec"] - a["tsec"] > 1800
     )
     assert n_sessions == int(pdf[pdf["user_id"] == uid]["session_seq"].max())
+
+
+def test_streaming_dedup_state_matches_batch_and_spans_batches(spark):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pdfi_spark.streaming import streaming_dedup_state
+
+    name = f"dedup_state_test_{uuid.uuid4().hex[:8]}"
+    ledger = streaming_dedup_state(spark, SF, query_name=name)
+    batch = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("dedup_key"))
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_id"))
+    )
+    assert ledger.exceptAll(batch).count() == 0
+    assert batch.exceptAll(ledger).count() == 0
+    # update-mode sink re-emits a key's row in every micro-batch that
+    # touches it: with 4 input files there must be keys emitted >1 time,
+    # proving state persisted across micro-batches
+    emissions = spark.table(name).groupBy("dedup_key").count()
+    assert emissions.filter("count > 1").count() > 0
