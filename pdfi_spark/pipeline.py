@@ -75,6 +75,23 @@ def make_spark(app_name: str = "pdfi_spark", master: str | None = None,
     )
 
 
+def read_pdf_files(spark: SparkSession, path: str,
+                   glob: str = "*.pdf") -> DataFrame:
+    """Raw-file source: Spark's binaryFile format over a directory tree ->
+    (url, html). The distributed equivalent of the reference's
+    one-local-file ``readSourceSync`` entry (reference index.ts:25-31);
+    partition planning, file listing and the 2 GB-per-file cap are
+    Spark's. Prefer parquet/Iceberg binary columns for crawl-scale input
+    (millions of small files stress the driver's listing)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select(F.col("path").alias("url"), F.col("content").alias("html"))
+    )
+
+
 def with_bucket(df: DataFrame, url_col: str = "url", n_buckets: int = 64) -> DataFrame:
     """Stable, salt-style bucket id: pure function of the url, so retries
     and resumes are deterministic."""

@@ -102,3 +102,23 @@ def test_skewed_corpus_extracts_correctly(spark):
     ).collect()[0]
     assert sizes["mx"] > 10 * sizes["md"]
     joined.unpersist()
+
+
+def test_binaryfile_source_extracts(spark, tmp_path):
+    from pdfi_spark.core.pdfgen import build_pdf
+    from pdfi_spark.pipeline import read_pdf_files
+
+    pdf_dir = tmp_path / "pdfs" / "nested"
+    pdf_dir.mkdir(parents=True)
+    expected = {}
+    for i, text in enumerate(["alpha doc", "beta doc", "gamma doc"]):
+        pdf, exp = build_pdf(text, "simple", per_block=1_000_000)
+        (pdf_dir / f"doc{i}.pdf").write_bytes(pdf)
+        expected[f"doc{i}.pdf"] = exp
+    # a non-matching file must be ignored by the glob
+    (pdf_dir / "notes.txt").write_text("not a pdf")
+
+    docs = read_pdf_files(spark, str(tmp_path / "pdfs"))
+    extracted = extract_text(docs, payload_col="html")
+    rows = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in extracted.collect()}
+    assert rows == expected
