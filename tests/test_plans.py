@@ -1,0 +1,84 @@
+"""Physical-plan regression guards.
+
+Each test pins the plan property that makes an operator scale — if a
+refactor reintroduces a shuffle, drops a broadcast, or widens a scan,
+these fail even though results stay correct. (The 100 TB argument lives
+in the plan, not the output.)
+"""
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdfi_spark import ops
+from pdfi_spark.pipeline import extract_text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_signatures_has_zero_exchanges(spark):
+    plan = _plan(ops.minhash_signatures(spark, SF))
+    assert plan.count("Exchange") == 0
+
+
+def test_simhash_has_zero_exchanges(spark):
+    plan = _plan(ops.simhash(spark, SF))
+    assert plan.count("Exchange") == 0
+
+
+def test_prebucketed_extract_has_zero_exchanges(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "url", F.col("html")
+    )
+    plan = _plan(extract_text(docs, payload_col="html"))
+    assert plan.count("Exchange") == 0
+
+
+def test_extract_scan_prunes_to_url_and_payload(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(extract_text(docs, payload_col="html"))
+    # ReadSchema must not include text/lang/warc_ts — only what the UDF uses
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "text" not in read_schema[0] and "lang" not in read_schema[0]
+
+
+def test_nation_revenue_broadcasts_the_dimension(spark):
+    plan = _plan(ops.nation_revenue_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # lineitem partial-aggregates before its first join: two HashAggregate
+    # levels (partial+final) precede any join in the plan text
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_cosine_topk_is_broadcast_plus_take_ordered(spark):
+    plan = _plan(ops.cosine_topk(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_media_metadata_hexes_only_a_slice(spark):
+    plan = _plan(ops.media_metadata(spark, SF))
+    # every hex() in the plan must wrap a substring of the payload, never
+    # the whole binary
+    import re
+
+    for m in re.finditer(r"hex\(([^)]*)", plan):
+        assert "substring" in m.group(1), plan
+
+
+def test_lsh_ann_buckets_single_exchange(spark):
+    # one shuffle: the final groupBy(bucket); coding itself is narrow
+    plan = _plan(ops.lsh_ann_buckets(spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+@pytest.mark.parametrize("fn", [ops.quality_scores, ops.token_counts,
+                                ops.lang_id_ngram, ops.lang_stopword_counts])
+def test_textstats_are_narrow_maps(spark, fn):
+    plan = _plan(fn(spark, SF))
+    assert plan.count("Exchange") == 0
