@@ -121,12 +121,23 @@ def main() -> int:
         "ivf_train_cells": ops.ivf_train_cells,
         "nation_revenue_topk": ops.nation_revenue_topk,
     }
+    round1_set = {
+        "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",
+        "minhash_lsh_buckets", "simhash", "ngram_jaccard", "cosine_topk",
+        "cosine_adjacent", "lsh_ann_buckets", "ivf_cell_counts", "ivf_topk",
+        "lang_stopwords", "quality_scores", "token_counts", "doc_fingerprint",
+        "media_metadata", "media_features",
+    }
     for name, fn in op_queries.items():
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # apples-to-apples vs BENCH_r01 (new round-2 queries grow the total)
+    extras["round1_queries_total"] = round(
+        sum(v for k, v in timings.items() if k in round1_set), 3
+    )
     out = {
         "metric": "headline_queries_total",
         "value": total,

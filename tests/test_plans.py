@@ -29,21 +29,27 @@ def test_simhash_has_zero_exchanges(spark):
     assert plan.count("Exchange") == 0
 
 
-def test_prebucketed_extract_has_zero_exchanges(spark):
-    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
-        "url", F.col("html")
+def _payload_docs(spark):
+    # the driver table has no binary column; derive (url, html) narrowly
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode("text", "utf-8").alias("html"),
     )
-    plan = _plan(extract_text(docs, payload_col="html"))
+
+
+def test_prebucketed_extract_has_zero_exchanges(spark):
+    plan = _plan(extract_text(_payload_docs(spark), payload_col="html"))
     assert plan.count("Exchange") == 0
 
 
-def test_extract_scan_prunes_to_url_and_payload(spark):
-    docs = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(extract_text(docs, payload_col="html"))
-    # ReadSchema must not include text/lang/warc_ts — only what the UDF uses
+def test_extract_scan_prunes_unused_columns(spark):
+    plan = _plan(extract_text(_payload_docs(spark), payload_col="html"))
+    # ReadSchema must not include lang/source/n_chars — only what the UDF
+    # consumes (doc_id + text feeding url + payload)
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema, plan
-    assert "text" not in read_schema[0] and "lang" not in read_schema[0]
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
+    assert "n_chars" not in read_schema[0]
 
 
 def test_nation_revenue_broadcasts_the_dimension(spark):
