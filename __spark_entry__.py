@@ -347,6 +347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["quality_scores"] = ops.quality_scores
     out["token_counts"] = ops.token_counts
     out["doc_fingerprint"] = ops.doc_fingerprint
+    out["decontaminate"] = ops.decontaminate
+    out["corpus_stats"] = ops.corpus_stats
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
     out["extract_streaming"] = _extract_streaming_query
@@ -604,6 +606,24 @@ def oracle_sql() -> dict[str, str]:
         "list_min(list_transform(range(0, len(string_split(text, ' ')) - 4), "
         "i -> md5(array_to_string(list_slice(string_split(text, ' '), i + 1, i + 5), ' ')))) AS winnow_min "
         "FROM documents WHERE len(string_split(text, ' ')) >= 5"
+    )
+    from pdfi_spark.ops.textstats import DECON_FLAG_MIN_HITS, N_BENCH_SHINGLES
+
+    shingle_expr = ("list_distinct(list_transform(range(0, len(string_split(text, ' ')) - 2), "
+                    "i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))")
+    out["decontaminate"] = (
+        f"WITH sh AS (SELECT doc_id, {shingle_expr} AS shingles "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 3), "
+        f"b AS (SELECT list_slice(list_sort(shingles), 1, {N_BENCH_SHINGLES}) AS bench FROM sh WHERE doc_id = 0) "
+        "SELECT doc_id, len(list_intersect(sh.shingles, b.bench))::INTEGER AS n_bench_hits, "
+        f"(len(list_intersect(sh.shingles, b.bench)) >= {DECON_FLAG_MIN_HITS}) AS contaminated "
+        "FROM sh, b"
+    )
+    out["corpus_stats"] = (
+        "SELECT lang, count(*) AS n_docs, sum(length(text))::BIGINT AS total_chars, "
+        "sum(len(string_split(text, ' ')))::BIGINT AS total_words, "
+        "max(len(string_split(text, ' ')))::INTEGER AS max_words "
+        "FROM documents GROUP BY lang"
     )
     out["ivf_cell_counts"] = (
         _ivf_assigned_cte()

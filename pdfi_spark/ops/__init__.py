@@ -20,6 +20,8 @@ from .similarity import (
     lsh_ann_buckets,
 )
 from .textstats import (
+    corpus_stats,
+    decontaminate,
     doc_fingerprint,
     lang_id_ngram,
     lang_stopword_counts,
@@ -32,6 +34,6 @@ __all__ = [
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
-    "doc_fingerprint", "media_metadata", "media_features",
+    "doc_fingerprint", "decontaminate", "corpus_stats", "media_metadata", "media_features",
     "media_feature_summary", "nation_revenue_topk",
 ]

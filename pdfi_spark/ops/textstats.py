@@ -96,3 +96,51 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(score >= LANG_ID_THRESHOLD, F.lit("en"))
         .otherwise(F.lit("other")).alias("lang_guess"),
     )
+
+
+N_BENCH_SHINGLES = 8
+DECON_FLAG_MIN_HITS = 2
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents whose word-3-gram sets
+    overlap a benchmark shingle set (the pass every training-data
+    pipeline runs against eval suites before training). The benchmark
+    set here is the first N shingles of doc 0 (deterministic stand-in
+    for a real eval set); it is tiny, collected once on the driver and
+    shipped as a literal array — so the scan side is a pure narrow map,
+    exactly how a multi-thousand-shingle real benchmark set broadcasts."""
+    from .dedup import _shingles
+
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    # lexicographically-smallest N shingles: order-insensitive choice
+    # (engines disagree on distinct-preserving order)
+    bench_row = (
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.slice(F.array_sort(_shingles()), 1, N_BENCH_SHINGLES).alias("b"))
+        .first()
+    )
+    bench = F.array(*[F.lit(s) for s in (bench_row["b"] if bench_row else [])])
+    hits = F.size(F.array_intersect(_shingles(), bench))
+    return docs.select(
+        "doc_id",
+        hits.alias("n_bench_hits"),
+        (hits >= DECON_FLAG_MIN_HITS).alias("contaminated"),
+    )
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus report: doc counts, char totals, word totals —
+    one hash-aggregate shuffle with map-side partials (the shape of every
+    corpus-composition dashboard query)."""
+    docs = _docs(spark, sf_dir)
+    words = F.size(F.split("text", " "))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.sum(words).alias("total_words"),
+            F.max(words).alias("max_words"),
+        )
+    )
