@@ -349,6 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["doc_fingerprint"] = ops.doc_fingerprint
     out["decontaminate"] = ops.decontaminate
     out["corpus_stats"] = ops.corpus_stats
+    out["repetition_scores"] = ops.repetition_scores
+    out["quality_filter"] = ops.quality_filter
+    out["stratified_sample"] = ops.stratified_sample
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
     out["extract_streaming"] = _extract_streaming_query
@@ -624,6 +627,42 @@ def oracle_sql() -> dict[str, str]:
         "sum(len(string_split(text, ' ')))::BIGINT AS total_words, "
         "max(len(string_split(text, ' ')))::INTEGER AS max_words "
         "FROM documents GROUP BY lang"
+    )
+    from pdfi_spark.ops.textstats import (
+        QF_MAX_DUP_3GRAM_FRACTION, QF_MAX_MEAN_WORD_LEN, QF_MAX_WORDS,
+        QF_MIN_MEAN_WORD_LEN, QF_MIN_WORDS, SAMPLE_MOD,
+    )
+
+    grams3 = ("list_transform(range(0, len(string_split(text, ' ')) - 2), "
+              "i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))")
+    out["repetition_scores"] = (
+        f"WITH g AS (SELECT doc_id, {grams3} AS grams FROM documents "
+        "WHERE len(string_split(text, ' ')) >= 3) "
+        "SELECT doc_id, len(grams)::INTEGER AS n_3grams, "
+        "len(list_distinct(grams))::INTEGER AS n_distinct_3grams, "
+        "(round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) + 0.0) AS dup_fraction "
+        "FROM g"
+    )
+    grams3g = ("list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 1)), "
+               "i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))")
+    out["quality_filter"] = (
+        "WITH q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_words, "
+        "length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS mean_wl, "
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+        f"1.0 - len(list_distinct({grams3g}))::DOUBLE / len({grams3g}) "
+        "ELSE 0.0 END AS dup_frac FROM documents) "
+        f"SELECT doc_id, (n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS}) AS ok_word_count, "
+        f"(mean_wl >= {QF_MIN_MEAN_WORD_LEN} AND mean_wl <= {QF_MAX_MEAN_WORD_LEN}) AS ok_mean_word_len, "
+        f"(dup_frac <= {QF_MAX_DUP_3GRAM_FRACTION}) AS ok_repetition, "
+        f"(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS} "
+        f"AND mean_wl >= {QF_MIN_MEAN_WORD_LEN} AND mean_wl <= {QF_MAX_MEAN_WORD_LEN} "
+        f"AND dup_frac <= {QF_MAX_DUP_3GRAM_FRACTION}) AS keep FROM q"
+    )
+    out["stratified_sample"] = (
+        "WITH s AS (SELECT lang, "
+        f"CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_MOD} = 0 "
+        "THEN 1 ELSE 0 END AS kept FROM documents) "
+        "SELECT lang, count(*) AS n_docs, sum(kept)::BIGINT AS n_sampled FROM s GROUP BY lang"
     )
     out["ivf_cell_counts"] = (
         _ivf_assigned_cte()

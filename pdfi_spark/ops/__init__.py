@@ -23,6 +23,9 @@ from .textstats import (
     corpus_stats,
     decontaminate,
     doc_fingerprint,
+    quality_filter,
+    repetition_scores,
+    stratified_sample,
     lang_id_ngram,
     lang_stopword_counts,
     quality_scores,
@@ -34,6 +37,6 @@ __all__ = [
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
-    "doc_fingerprint", "decontaminate", "corpus_stats", "media_metadata", "media_features",
+    "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "nation_revenue_topk",
 ]

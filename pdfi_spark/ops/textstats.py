@@ -144,3 +144,80 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(words).alias("max_words"),
         )
     )
+
+
+# C4/Gopher-style quality gate thresholds
+QF_MIN_WORDS = 10
+QF_MAX_WORDS = 100000
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 12.0
+QF_MAX_DUP_3GRAM_FRACTION = 0.6
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of word-3-grams that are
+    duplicates (1 - distinct/total). Pure codegen array math, narrow."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        n_total.alias("n_3grams"),
+        n_distinct.alias("n_distinct_3grams"),
+        (F.round(F.lit(1.0) - n_distinct.cast("double") / n_total, 6) + F.lit(0.0))
+        .alias("dup_fraction"),
+    )
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop gate in the C4/Gopher mold: word-count bounds,
+    mean-word-length band, duplicate-3-gram ceiling. Emits per-rule flags
+    plus the final keep verdict so downstream can audit drop reasons —
+    all codegen, one narrow pass."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    dup_frac = F.when(
+        n_words >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    ok_len = (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+    ok_wl = (mean_wl >= QF_MIN_MEAN_WORD_LEN) & (mean_wl <= QF_MAX_MEAN_WORD_LEN)
+    ok_rep = dup_frac <= QF_MAX_DUP_3GRAM_FRACTION
+    return docs.select(
+        "doc_id",
+        ok_len.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_rep.alias("ok_repetition"),
+        (ok_len & ok_wl & ok_rep).alias("keep"),
+    )
+
+
+SAMPLE_MOD = 10  # keep doc when md5-bucket == 0 -> ~10% deterministic sample
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sample with per-language accounting: a doc is
+    kept iff md5(doc_id) lands in bucket 0 of SAMPLE_MOD — reproducible
+    on any engine and stable under reruns/resumes (unlike rand()-based
+    sampling). Reports per-lang kept/total, the corpus-subsampling
+    audit every training run records."""
+    docs = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % SAMPLE_MOD
+    return (
+        docs.select("lang", (bucket == 0).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("kept").alias("n_sampled"))
+    )
