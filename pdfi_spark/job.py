@@ -30,12 +30,20 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--wave-size", type=int, default=None)
     ap.add_argument("--payload-col", default="html")
+    ap.add_argument("--input-format", choices=["parquet", "binaryfile"],
+                    default="parquet",
+                    help="binaryfile reads raw *.pdf files from a directory "
+                         "tree (url=path, html=content)")
     args = ap.parse_args()
 
-    from pdfi_spark.pipeline import make_spark, run_pipeline
+    from pdfi_spark.pipeline import make_spark, read_pdf_files, run_pipeline
 
     spark = make_spark("pdfi-extract")
-    documents = spark.read.parquet(args.input)
+    if args.input_format == "binaryfile":
+        documents = read_pdf_files(spark, args.input)
+        args.payload_col = "html"
+    else:
+        documents = spark.read.parquet(args.input)
     summary = run_pipeline(
         spark, documents, args.output, run_id=args.run_id,
         n_buckets=args.buckets, wave_size=args.wave_size,
