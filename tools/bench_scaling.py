@@ -195,7 +195,12 @@ def host_ceiling_note() -> str:
     measured ledgers (.bench/mp_baseline.json from tools/bench_mp_control.py
     + the heavy scaling JSON), so the prose cannot drift from the tables."""
     mp_path = os.path.join(REPO, ".bench", "mp_baseline.json")
-    heavy_path = os.path.join(REPO, ".bench", "scaling_heavy.json")
+    # compare like-for-like: the mp control reads part-files directly with
+    # no shuffle, so the Spark side is the pre-bucketed (direct) heavy job;
+    # fall back to the shuffle job if direct has not been measured yet
+    heavy_path = os.path.join(REPO, ".bench", "scaling_heavy_direct.json")
+    if not os.path.exists(heavy_path):
+        heavy_path = os.path.join(REPO, ".bench", "scaling_heavy.json")
     if not (os.path.exists(mp_path) and os.path.exists(heavy_path)):
         return ("Host context: run `python tools/bench_mp_control.py` to "
                 "measure the pure-multiprocessing ceiling for the "
@@ -222,12 +227,13 @@ def host_ceiling_note() -> str:
         "saturates memory bandwidth well before 4x. Spark's 8 -> 32 result "
         f"({spark_eff}) is therefore measured against a ~{mp_eff} hardware "
         f"ceiling, not 1.0 — the pipeline reaches ~{rel}% of what the host "
-        f"itself can scale, and its absolute local[32] heavy throughput "
+        f"itself can scale, and its absolute local[32] pre-bucketed heavy throughput "
         f"({spark32:,.0f} docs/sec) {gap_txt} the no-framework "
-        "multiprocessing figure. On a real cluster the 4N configuration "
+        "multiprocessing figure (like-for-like: both read pre-placed "
+        "part-files with no shuffle). On a real cluster the 4N configuration "
         "adds machines (and memory channels), which is what the 2 -> 8 "
         "pair models. (Figures interpolated from .bench/mp_baseline.json "
-        "and .bench/scaling_heavy.json by tools/bench_scaling.py.)"
+        f"and .bench/{os.path.basename(heavy_path)} by tools/bench_scaling.py.)"
     )
 
 
