@@ -164,6 +164,27 @@ def _extract_handmade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extracted.select(F.col("url").alias("fixture"), "text")
 
 
+def _info_metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailer /Info dictionary decode: /Title is UTF-16BE with BOM
+    (decodeBuffer's BOM branch keeps U+FEFF, exactly like the
+    reference's Node utf16le decode), /Author is PDFDocEncoding."""
+    docs = build_documents_with_id(spark, sf_dir, "info_unicode", per_block=ORACLE_PER_BLOCK)
+
+    def probe(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, html in zip(batch["doc_id"], batch["html"]):
+                info = read_pdf(bytes(html), type="metadata")["Info"]
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "title": info["Title"],
+                    "author": info["Author"],
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "title", "author"])
+
+    return docs.mapInPandas(probe, schema="doc_id long, title string, author string")
+
+
 def _metadata_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailer metadata probe (readSourceSync type='metadata' analog)."""
     docs = build_documents_with_id(spark, sf_dir, "simple", per_block=ORACLE_PER_BLOCK)
@@ -327,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_sections_struct"] = _extract_sections_struct_query
     out["extract_handmade"] = _extract_handmade_query
     out["trailer_metadata"] = _metadata_query
+    out["info_metadata"] = _info_metadata_query
     out["xref_count"] = _xref_count_query
     out["nation_revenue_topk"] = ops.nation_revenue_topk
     out["dedup_exact"] = ops.dedup_exact
@@ -470,6 +492,13 @@ def oracle_sql() -> dict[str, str]:
     out["extract_handmade"] = " UNION ALL ".join(
         f"SELECT '{name}' AS fixture, '{_sq(expected)}' AS text"
         for name, (_pdf, expected) in sorted(HANDMADE.items())
+    )
+    from pdfi_spark.core.pdfgen import INFO_AUTHOR
+
+    out["info_metadata"] = (
+        "SELECT doc_id, chr(65279) || 'é ' || "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS title, "
+        f"'{INFO_AUTHOR}' AS author FROM documents"
     )
     out["xref_count"] = (
         f"SELECT doc_id, {_XREFSTREAM_N_XREFS} AS n_xrefs FROM documents"

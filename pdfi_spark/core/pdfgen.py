@@ -158,7 +158,7 @@ class PDFWriter:
         self.is_stream.append(True)
         return Ref(len(self.objects))
 
-    def build(self, root: Ref) -> bytes:
+    def build(self, root: Ref, info: Ref | None = None) -> bytes:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0] * (len(self.objects) + 1)
         for i, body in enumerate(self.objects, start=1):
@@ -173,6 +173,8 @@ class PDFWriter:
         for i in range(1, n):
             out.extend(b"%010d 00000 n \n" % offsets[i])
         trailer = {"Size": n, "Root": root}
+        if info is not None:
+            trailer["Info"] = info
         out.extend(b"trailer\n" + ser(trailer) + b"\nstartxref\n%d\n%%%%EOF" % xref_pos)
         return bytes(out)
 
@@ -973,3 +975,38 @@ def recipe_word_grid(text: str, words_per_line: int = 8) -> tuple[bytes, str]:
 
 
 RECIPES["word_grid"] = recipe_word_grid
+
+
+INFO_AUTHOR = "pdfgen synthetic corpus"
+
+
+def info_title_for(text: str) -> str:
+    """Deterministic Info /Title for a doc: 'é ' + first 3 words (the
+    accent forces the UTF-16BE-with-BOM text-string path)."""
+    return "é " + " ".join(text.split(" ")[:3])
+
+
+def recipe_info_unicode(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Simple page plus a trailer /Info dict: /Title as a UTF-16BE+BOM
+    text string (decodeBuffer's BOM branch, reference
+    encoding/index.ts:181-191), /Author as a PDFDocEncoding string."""
+    blocks = split_blocks(wrap_text(text), per_block)
+    w = PDFWriter()
+    font_ref = w.add(base_font_object())
+    content_ref = w.add_stream({}, content_ops_simple(blocks))
+    pages_ref = w.reserve()
+    page_ref = w.add({
+        "Type": Name("Page"),
+        "Parent": pages_ref,
+        "MediaBox": [0, 0, 612, 792],
+        "Resources": {"Font": {"F1": font_ref}},
+        "Contents": content_ref,
+    })
+    w.set(pages_ref, {"Type": Name("Pages"), "Kids": [page_ref], "Count": 1})
+    root_ref = w.add({"Type": Name("Catalog"), "Pages": pages_ref})
+    title_bytes = b"\xfe\xff" + info_title_for(text).encode("utf-16-be")
+    info_ref = w.add({"Title": title_bytes, "Author": INFO_AUTHOR.encode("ascii")})
+    return w.build(root_ref, info=info_ref), expected_string(blocks)
+
+
+RECIPES["info_unicode"] = recipe_info_unicode

@@ -64,3 +64,15 @@ def test_extract_record_contract():
 def test_empty_text():
     pdf, expected = build_pdf("", "simple")
     assert read_pdf(pdf, type="string") == expected
+
+
+def test_info_unicode_title_keeps_bom_like_reference():
+    """decodeBuffer's UTF-16BE branch keeps U+FEFF, matching the
+    reference's Node utf16le decode (encoding/index.ts:181-191)."""
+    from pdfi_spark.core.api import read_pdf
+    from pdfi_spark.core.pdfgen import INFO_AUTHOR, build_pdf, info_title_for
+
+    pdf, _ = build_pdf("alpha beta gamma delta", "info_unicode", per_block=10**6)
+    info = read_pdf(pdf, type="metadata")["Info"]
+    assert info["Title"] == "﻿" + info_title_for("alpha beta gamma delta")
+    assert info["Author"] == INFO_AUTHOR
