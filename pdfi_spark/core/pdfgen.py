@@ -977,6 +977,38 @@ def recipe_word_grid(text: str, words_per_line: int = 8) -> tuple[bytes, str]:
 RECIPES["word_grid"] = recipe_word_grid
 
 
+def recipe_macroman(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """BaseEncoding /MacRomanEncoding with every SPACE encoded as byte
+    0xCA (MacRoman `nbspace` -> U+00A0): decoding walks the MacRoman
+    glyphmap for a high byte, and normalize()'s JS-\\s flatten folds the
+    NBSP back to a plain space — so expected == the simple extraction.
+    ASCII letters ride the MacRoman low range (identical to ASCII)."""
+    blocks = split_blocks(wrap_text(text), per_block)
+    font = base_font_object()
+    font["FirstChar"] = 32
+    font["LastChar"] = 255
+    font["Widths"] = [500] * (255 - 32 + 1)
+    font["Encoding"] = {
+        "Type": Name("Encoding"),
+        "BaseEncoding": Name("MacRomanEncoding"),
+    }
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    y = PAGE_TOP
+    for block in blocks:
+        for line in block:
+            encoded = bytes(0xCA if ch == " " else ord(ch) for ch in line)
+            ops.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (PAGE_X, y, _escape_string(encoded)))
+            y -= LEADING
+        y -= BLOCK_GAP - LEADING
+    ops.append(b"ET")
+    pdf = make_single_page(b"\n".join(ops), font_objects={"F1": font})
+    return pdf, expected_string(blocks)
+
+
+RECIPES["macroman"] = recipe_macroman
+ORACLE_EXPECTED_SQL["macroman"] = _DEFAULT_EXPECTED_SQL
+
+
 INFO_AUTHOR = "pdfgen synthetic corpus"
 
 

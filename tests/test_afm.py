@@ -79,3 +79,14 @@ def test_core14_nowidths_recipe_roundtrip():
             text.strip(), "core14_nowidths", per_block=ORACLE_PER_BLOCK
         )
         assert read_pdf(pdf, type="string") == expected
+
+
+def test_fontmatrix_width_multiplier():
+    """FontMatrix[0]/0.001 scales Widths (reference font/index.ts:383-386,
+    technically a Type3 concern but honored for any Type1-path font)."""
+    font = Type1Font(None, {
+        "Type": "Font", "Subtype": "Type1", "BaseFont": "Anything",
+        "FirstChar": 65, "Widths": [700, 800], "FontMatrix": [0.002, 0, 0, 0.002, 0, 0],
+    })
+    assert font.measure(b"A") == 700 * 2
+    assert font.measure(b"B") == 800 * 2
