@@ -88,3 +88,38 @@ def test_lsh_ann_buckets_single_exchange(spark):
 def test_textstats_are_narrow_maps(spark, fn):
     plan = _plan(fn(spark, SF))
     assert plan.count("Exchange") == 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """The steady-state 100 TB layout claim, executed: two tables
+    bucketed by the SAME key/count join with ZERO Exchange (each task
+    zips co-located buckets). This is the join-side twin of the
+    pre-bucketed extraction path."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # spark.sql.warehouse.dir is static: tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketdemo")
+    try:
+        (docs.select("doc_id", "text").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id")
+         .saveAsTable("bucketdemo.docs_a"))
+        (docs.select("doc_id", "lang", "n_chars").write.mode("overwrite")
+         .bucketBy(8, "doc_id").sortBy("doc_id")
+         .saveAsTable("bucketdemo.docs_b"))
+        a = spark.table("bucketdemo.docs_a")
+        b = spark.table("bucketdemo.docs_b")
+        # disable broadcast so the join would otherwise shuffle both sides
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, "doc_id")
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange") == 0, plan
+            assert joined.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.docs_a")
+        spark.sql("DROP TABLE IF EXISTS bucketdemo.docs_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo")
