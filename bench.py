@@ -77,7 +77,10 @@ def main() -> int:
     trials = []
     for _ in range(3):
         t0 = time.time()
-        extracted = extract_text(documents, payload_col="html", n_partitions=cpus * 4)
+        # 8x slots measured best for ~KB docs at local[32]: finer salted
+        # buckets smooth per-partition skew/stragglers (4x was ~25% slower;
+        # >16x re-adds scheduling overhead)
+        extracted = extract_text(documents, payload_col="html", n_partitions=cpus * 8)
         force(extracted.select("url", "n_chars", "error"))
         trials.append(round(time.time() - t0, 3))
     timings["extract"] = min(trials)
