@@ -14,7 +14,6 @@ from .afm import AFM_DEFAULT_WIDTH, CORE14_WIDTHS
 from .cmap import parse_cmap
 from .encoding import GLYPHMAPS, StandardEncoding, decode_glyphname, expand_differences
 from .encoding.glyphlist import GLYPHLIST
-from .objects import is_reference
 from .util import read_char_codes
 
 # charcode -> unicode for the Standard encoding fallback

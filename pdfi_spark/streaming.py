@@ -13,7 +13,6 @@ single available-now run) — which is what makes them oracle-checkable.
 """
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession

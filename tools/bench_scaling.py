@@ -39,7 +39,6 @@ import re
 import statistics
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -123,7 +122,10 @@ def main() -> int:
     job_sfx = "" if args.job == "shuffle" else f"_{args.job}"
     ledger = os.path.join(
         REPO, ".bench",
-        f"scaling_trials_{args.style}_x{args.replicate}{job_sfx}.jsonl",
+        # _8x: the shuffle job moved from 4x to 8x salted slots — new ledger,
+        # since best-of across different job configs would be dishonest
+        f"scaling_trials_{args.style}_x{args.replicate}"
+        + ("_8x" if job_sfx == "" else job_sfx) + ".jsonl",
     )
     legacy = os.path.join(REPO, ".bench", "scaling_trials.jsonl")
     if args.style == "mixed" and os.path.exists(legacy) \
@@ -239,7 +241,7 @@ def host_ceiling_note() -> str:
 
 def update_baseline_md() -> None:
     lines = ["", "## Measured results (sandbox, 32-core local mode)", "",
-             "Same job (parquet scan -> salted repartition(4x slots) -> "
+             "Same job (parquet scan -> salted repartition(8x slots) -> "
              "mapInPandas extraction -> noop sink) over the same materialized "
              "corpus per tier. One persistent JVM per level; trials "
              "interleaved round-robin across levels so host noise hits each "
