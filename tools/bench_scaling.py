@@ -122,10 +122,7 @@ def main() -> int:
     job_sfx = "" if args.job == "shuffle" else f"_{args.job}"
     ledger = os.path.join(
         REPO, ".bench",
-        # _8x: the shuffle job moved from 4x to 8x salted slots — new ledger,
-        # since best-of across different job configs would be dishonest
-        f"scaling_trials_{args.style}_x{args.replicate}"
-        + ("_8x" if job_sfx == "" else job_sfx) + ".jsonl",
+        f"scaling_trials_{args.style}_x{args.replicate}{job_sfx}.jsonl",
     )
     legacy = os.path.join(REPO, ".bench", "scaling_trials.jsonl")
     if args.style == "mixed" and os.path.exists(legacy) \
@@ -241,7 +238,7 @@ def host_ceiling_note() -> str:
 
 def update_baseline_md() -> None:
     lines = ["", "## Measured results (sandbox, 32-core local mode)", "",
-             "Same job (parquet scan -> salted repartition(8x slots) -> "
+             "Same job (parquet scan -> salted repartition(4x slots) -> "
              "mapInPandas extraction -> noop sink) over the same materialized "
              "corpus per tier. One persistent JVM per level; trials "
              "interleaved round-robin across levels so host noise hits each "

@@ -22,9 +22,11 @@ def main() -> int:
     # 'direct'  = pre-bucketed input (production: the Iceberg table is
     # bucket-written by xxhash64(url) at ingest, so no runtime shuffle)
     job = sys.argv[3] if len(sys.argv) > 3 else "shuffle"
-    # 8x slots: measured ~25% faster than 4x for ~KB docs (finer salted
-    # buckets smooth stragglers); heavy multi-MB docs are insensitive
-    n_partitions = cpus * 8 if job == "shuffle" else None
+    # 4x slots: the ledger protocol since round 1 (trials accumulate
+    # across invocations; changing the job config would invalidate the
+    # best-of history). bench.py independently uses 8x for its
+    # small-doc tier, where it measured ~25% faster within-session.
+    n_partitions = cpus * 4 if job == "shuffle" else None
     spark = make_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                        shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
