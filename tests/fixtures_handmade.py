@@ -7,7 +7,9 @@ Covers: a multi-trailer incremental-update /Prev chain (newer object
 wins), a mismatched-byteLength CMap (first mapping byteLength wins with
 a warning, reference parsers/states.ts:784-792), an indirect /Length
 stream with comment lines, and a multi-subsection classic xref table
-(PDF32000 7.5.4 layout, reference test/xref.ts:16-163 territory).
+(PDF32000 7.5.4 layout, reference test/xref.ts:16-163 territory), and a
+PDF-1.5 unfiltered cross-reference STREAM (W [1 2 1], all objects
+top-level).
 """
 
 INCREMENTAL_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 52 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (original text) Tj ET\nendstream\nendobj\n5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\nxref\n0 6\n0000000000 65535 f \n0000000009 00000 n \n0000000058 00000 n \n0000000117 00000 n \n0000000245 00000 n \n0000000347 00000 n \ntrailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n837\n%%EOF\n4 0 obj\n<< /Length 56 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (updated text wins) Tj ET\nendstream\nendobj\nxref\n0 1\n0000000000 65535 f \n4 1\n0000001020 00000 n \ntrailer\n<< /Size 6 /Root 1 0 R /Prev 837 >>\nstartxref\n1126\n%%EOF\n'
@@ -26,9 +28,14 @@ MULTISUBSECTION_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nen
 
 MULTISUBSECTION_EXPECTED = '# \nsubsections parse'
 
+XREFSTREAM_PDF = b'%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 58 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (xref stream by hand) Tj ET\nendstream\nendobj\n5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\n6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 2 1 ] /Root 1 0 R /Length 28 >>\nstream\n\x00\x00\x00\xff\x01\x00\t\x00\x01\x00:\x00\x01\x00u\x00\x01\x00\xf5\x00\x01\x01a\x00\x01\x03K\x00\nendstream\nendobj\nstartxref\n843\n%%EOF\n'
+
+XREFSTREAM_EXPECTED = '# \nxref stream by hand'
+
 HANDMADE = {
     "incremental": (INCREMENTAL_PDF, INCREMENTAL_EXPECTED),
     "mixedlen": (MIXEDLEN_PDF, MIXEDLEN_EXPECTED),
     "indirect_length": (INDIRECT_LENGTH_PDF, INDIRECT_LENGTH_EXPECTED),
     "multisubsection": (MULTISUBSECTION_PDF, MULTISUBSECTION_EXPECTED),
+    "xrefstream": (XREFSTREAM_PDF, XREFSTREAM_EXPECTED),
 }
