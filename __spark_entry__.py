@@ -338,6 +338,16 @@ def _sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_events(spark, sf_dir)
 
 
+def _session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pdfi_spark.streaming import session_window_events
+
+    return session_window_events(
+        spark, sf_dir, query_name=f"sesswin_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for recipe in ORACLE_EXPECTED_SQL:
@@ -351,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["info_metadata"] = _info_metadata_query
     out["xref_count"] = _xref_count_query
     out["nation_revenue_topk"] = ops.nation_revenue_topk
+    out["top_events_per_user"] = ops.top_events_per_user
     out["dedup_exact"] = ops.dedup_exact
     out["dedup_clusters"] = ops.dedup_clusters
     out["minhash_signatures"] = ops.minhash_signatures
@@ -379,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_streaming"] = _extract_streaming_query
     out["windowed_event_counts"] = _windowed_events_query
     out["sessionize_events"] = _sessionize_query
+    out["session_window_events"] = _session_window_query
     out["streaming_dedup_state"] = _streaming_dedup_state_query
     out["layout_lines_window"] = _layout_lines_window_query
     return out
@@ -518,6 +530,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n_name, revenue_cp, n_orders, n_customers "
         "FROM per_nation JOIN nation ON c_nationkey = n_nationkey "
         f"ORDER BY revenue_cp DESC, n_name ASC LIMIT {TOP_K}"
+    )
+    out["top_events_per_user"] = (
+        "SELECT user_id, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank, "
+        "event_id, round(value, 6) AS value FROM events "
+        "QUALIFY rank <= 3"
     )
     out["dedup_exact"] = (
         "SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS dedup_key, "
@@ -750,6 +768,20 @@ def oracle_sql() -> dict[str, str]:
     out["streaming_dedup_state"] = (
         "SELECT array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS dedup_key, "
         "count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY 1"
+    )
+    # half-open session-window semantics: diff >= gap starts a NEW session
+    out["session_window_events"] = (
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "floor(epoch(ts))::BIGINT AS tsec FROM events), "
+        "f AS (SELECT user_id, event_id, ts, tsec, "
+        "lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM o), "
+        "g AS (SELECT user_id, event_id, ts, "
+        "CASE WHEN prev IS NULL OR tsec - prev >= 1800 THEN 1 ELSE 0 END AS ns FROM f), "
+        "s AS (SELECT user_id, event_id, ts, "
+        "(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq FROM g) "
+        "SELECT user_id, min(ts) AS session_start, count(*) AS n_events, "
+        "min(event_id) AS first_event FROM s GROUP BY user_id, session_seq"
     )
     out["sessionize_events"] = (
         "WITH o AS (SELECT user_id, event_id, ts, "

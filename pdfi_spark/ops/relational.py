@@ -74,3 +74,21 @@ def nation_revenue_topk(spark: SparkSession, sf_dir: str,
         .select("n_name", "revenue_cp", "n_orders", "n_customers")
     )
     return result.orderBy(F.desc("revenue_cp"), F.asc("n_name")).limit(k)
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k via a rank window: the other canonical window
+    shape (sessionization being the first). One exchange on user_id;
+    rank prunes before anything wide is carried."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("user_id", "rank", "event_id",
+                F.round("value", 6).alias("value"))
+    )

@@ -172,6 +172,57 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str,
     )
 
 
+def session_window_events(spark: SparkSession, sf_dir: str,
+                          gap: str = "30 minutes",
+                          watermark: str = "10 minutes",
+                          query_name: str = "session_window_events") -> DataFrame:
+    """NATIVE streaming session windows (F.session_window): Spark's
+    merging-window state machine, vs sessionize_events' batch
+    lag/cumsum formulation of the same sessions. Window semantics are
+    half-open — an event exactly `gap` after the previous one starts a
+    NEW session (the DuckDB oracle mirrors with `diff >= gap`).
+    Timezone handling matches windowed_event_counts: pin UTC for the
+    run, emit NTZ columns."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        events = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withWatermark("ts", watermark)
+        )
+        agg = (
+            events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.min("event_id").alias("first_event"),
+            )
+            .select(
+                "user_id",
+                F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+                "n_events",
+                "first_event",
+            )
+        )
+        checkpoint = tempfile.mkdtemp(prefix="pdfi_sesswin_ckpt_")
+        query = (
+            agg.writeStream.queryName(query_name)
+            .format("memory")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.table(query_name)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str,
                       gap_minutes: int = 30) -> DataFrame:
     """Session windows via the lag -> gap-flag -> running-sum pattern
