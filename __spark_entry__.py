@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ivf_cell_counts"] = ops.ivf_cell_counts
     out["ivf_train_cells"] = ops.ivf_train_cells  # iterative k-means: rows-only check, no SQL twin
     out["ivf_topk"] = ops.ivf_topk
+    out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
     out["lang_stopwords"] = ops.lang_stopword_counts
     out["lang_id_ngram"] = ops.lang_id_ngram
     out["quality_scores"] = ops.quality_scores
@@ -716,6 +717,18 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT centroid_id, count(*) AS n_vecs FROM assigned GROUP BY centroid_id"
     )
     cos_q = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
+    cos_cq = _COSINE_RAW.format(a="cvec", b="q.qvec")
+    cos_aq = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
+    out["ivf_topk_nprobe2"] = (
+        _ivf_assigned_cte()
+        + ", q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0), "
+        "qcells AS (SELECT centroid_id FROM cent, q "
+        f"QUALIFY row_number() OVER (ORDER BY {cos_cq} DESC, centroid_id ASC) <= 2) "
+        f"SELECT a.vec_id, (round({cos_aq}, 3) + 0.0) AS cosine "
+        "FROM assigned a JOIN qcells USING (centroid_id), q "
+        "WHERE a.vec_id <> 0 "
+        "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10"
+    )
     out["ivf_topk"] = (
         _ivf_assigned_cte()
         + ", q AS (SELECT centroid_id AS qcell, embedding AS qvec "

@@ -13,6 +13,7 @@ from .similarity import (
     cosine_adjacent_pairs,
     cosine_topk,
     embedding_neardup_topk,
+    ivf_topk_nprobe,
     ivf_train_cells,
     kmeans_codebook,
     ivf_cell_counts,
@@ -35,7 +36,7 @@ from .textstats import (
 __all__ = [
     "dedup_exact", "dedup_clusters", "minhash_signatures", "minhash_lsh_buckets", "simhash",
     "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
-    "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "kmeans_codebook",
+    "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "nation_revenue_topk", "top_events_per_user",

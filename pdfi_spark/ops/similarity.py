@@ -310,3 +310,55 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
         )
     )
     return probe.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+                    k: int = 10, nprobe: int = 2) -> DataFrame:
+    """IVF probe with nprobe > 1: search the query's `nprobe` nearest
+    cells — the standard recall/latency knob (nprobe=1 can miss
+    neighbors that quantized into an adjacent cell). The cell shortlist
+    is a tiny ranked broadcast; the probe side stays pruned to
+    sum(probed cell sizes) rows."""
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    assigned = _ivf_assign(emb)
+    cent = _centroids(emb)
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    qcells = (
+        cent.crossJoin(F.broadcast(query))
+        .select(
+            "centroid_id",
+            "qvec",
+            (
+                _dot(F.col("cvec"), F.col("qvec"))
+                / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+            ).alias("cos_c"),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_c"), F.asc("centroid_id"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("centroid_id", "qvec")
+    )
+    probe = (
+        assigned.join(F.broadcast(qcells), "centroid_id")
+        .filter(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            (
+                F.round(
+                    _dot(F.col("embedding"), F.col("qvec"))
+                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    3,
+                )
+                + F.lit(0.0)
+            ).alias("cosine"),
+        )
+    )
+    return probe.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
