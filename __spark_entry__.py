@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stratified_sample"] = ops.stratified_sample
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
+    out["media_resize"] = ops.media_resize
     out["extract_streaming"] = _extract_streaming_query
     out["windowed_event_counts"] = _windowed_events_query
     out["sessionize_events"] = _sessionize_query
@@ -760,6 +761,18 @@ def oracle_sql() -> dict[str, str]:
         "(list_sum(list_transform(range(1, stride + 1), "
         "i -> ord(substr(text, i::INT, 1))))::DOUBLE / stride / 255.0) AS f0, "
         "4 AS n_frames, (n // 4)::INTEGER AS frame1_offset FROM s"
+    )
+    from pdfi_spark.ops.multimodal import RESIZE_TARGET
+
+    out["media_resize"] = (
+        "WITH s AS (SELECT doc_id, text, length(text) AS n, "
+        f"greatest(1, length(text) // {RESIZE_TARGET}) AS stride FROM documents), "
+        "t AS (SELECT doc_id, "
+        f"list_slice(list_transform(range(0, ((n - 1) // stride) + 1), "
+        f"i -> substr(text, (i * stride + 1)::INT, 1)), 1, {RESIZE_TARGET}) AS thumb FROM s) "
+        "SELECT doc_id, len(thumb)::INTEGER AS thumb_bytes, "
+        "upper(hex(encode(array_to_string(list_slice(thumb, 1, 4), '')))) AS thumb_prefix_hex "
+        "FROM t"
     )
     out["extract_streaming"] = (
         "SELECT doc_id, "

@@ -7,7 +7,7 @@ an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
 from .dedup import (dedup_clusters, dedup_exact, minhash_lsh_buckets,
                     minhash_signatures, ngram_jaccard_pairs, simhash)
-from .multimodal import media_feature_summary, media_features, media_metadata
+from .multimodal import media_feature_summary, media_features, media_metadata, media_resize
 from .relational import nation_revenue_topk, top_events_per_user
 from .similarity import (
     cosine_adjacent_pairs,
@@ -39,5 +39,5 @@ __all__ = [
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
-    "media_feature_summary", "nation_revenue_topk", "top_events_per_user",
+    "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user",
 ]

@@ -145,3 +145,42 @@ def media_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("frame_offsets").alias("n_frames"),
         F.element_at("frame_offsets", 2).alias("frame1_offset"),
     )
+
+
+RESIZE_TARGET = 16  # stub "thumbnail" byte count
+
+
+def fake_resize(payload: bytes, target: int = RESIZE_TARGET) -> bytes:
+    """Deterministic stand-in for decode->resize->re-encode: stride
+    subsampling of the raw bytes to a fixed-size thumbnail. Shape-
+    compatible with a real resizer (binary in, smaller binary out);
+    swap for PIL's Image.resize on a production cluster."""
+    n = len(payload)
+    if n == 0:
+        return b""
+    stride = max(1, n // target)
+    return payload[::stride][:target]
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary->binary resize stage (mapInPandas): the
+    thumbnail never exists driver-side, and downstream metadata
+    (lengths, a byte checksum) is computed JVM-side after the UDF."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def resize(iterator):
+        for batch in iterator:
+            rows = [
+                {"doc_id": int(doc_id), "thumb": fake_resize(bytes(payload))}
+                for doc_id, payload in zip(batch["doc_id"], batch["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "thumb"])
+
+    thumbs = docs.mapInPandas(resize, schema="doc_id long, thumb binary")
+    return thumbs.select(
+        "doc_id",
+        F.length("thumb").cast("int").alias("thumb_bytes"),
+        F.upper(F.hex(F.expr("substring(thumb, 1, 4)"))).alias("thumb_prefix_hex"),
+    )
