@@ -79,3 +79,15 @@ def test_media_feature_summary_spark(spark):
     pdf = media_feature_summary(spark, SF).toPandas()
     assert set(pdf.columns) == {"doc_id", "f0", "n_frames", "frame1_offset"}
     assert (pdf["n_frames"] == 4).all()
+
+
+def test_fake_resize_edges():
+    from pdfi_spark.ops.multimodal import RESIZE_TARGET, fake_resize
+
+    assert fake_resize(b"") == b""
+    # payload shorter than target: stride 1, whole payload kept
+    assert fake_resize(b"abc") == b"abc"
+    # long payload subsamples down to exactly RESIZE_TARGET bytes
+    out = fake_resize(bytes(range(200)))
+    assert len(out) == RESIZE_TARGET
+    assert out[0] == 0 and out[1] == 200 // RESIZE_TARGET
