@@ -63,23 +63,35 @@ def main() -> int:
         print(f"no corpus at {CORPUS}; run tools/bench_scaling.py --style heavy first")
         return 1
 
-    results: dict[str, dict] = {}
-    # interleave trials round-robin so host noise hits each level equally
-    trials: dict[int, list[float]] = {n: [] for n in levels}
+    # interleave trials round-robin so host noise hits each level equally;
+    # trials ACCUMULATE in a ledger across invocations (best-of basis,
+    # same protocol as tools/bench_scaling.py — a single noisy window
+    # must not overwrite a better measurement)
+    ledger = os.path.join(REPO, ".bench", "mp_trials.jsonl")
     n_docs = None
     for t in range(args.trials):
         for n in levels:
             wall, docs = run_level(files, n)
             n_docs = docs
-            trials[n].append(wall)
+            with open(ledger, "a") as f:
+                f.write(json.dumps({"procs": n, "wall": round(wall, 3),
+                                    "n_docs": docs}) + "\n")
             print(f"trial {t} procs={n}: {wall:.2f}s ({docs / wall:.0f} docs/sec)")
-    for n in levels:
-        best = min(trials[n])
+    all_trials: dict[int, list[float]] = {}
+    with open(ledger) as f:
+        for line in f:
+            row = json.loads(line)
+            n_docs = n_docs or row["n_docs"]
+            all_trials.setdefault(row["procs"], []).append(row["wall"])
+    results: dict[str, dict] = {}
+    for n in sorted(all_trials):
+        best = min(all_trials[n])
         results[str(n)] = {
             "best_sec": round(best, 2),
             "docs_per_sec": round(n_docs / best, 1),
-            "trials": [round(x, 2) for x in trials[n]],
+            "trials": [round(x, 2) for x in all_trials[n]],
         }
+    levels = sorted(all_trials)
     effs = {}
     for lo, hi in zip(levels, levels[1:]):
         if hi == lo * 4:
