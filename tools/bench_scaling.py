@@ -214,6 +214,9 @@ def host_ceiling_note() -> str:
     spark_eff = heavy["efficiency"].get("8->32")
     spark32 = heavy["results"]["32"]["docs_per_sec"]
     rel = round(100 * spark_eff / mp_eff) if mp_eff else 0
+    rel_txt = (f"reaches ~{rel}% of" if rel <= 100 else
+               f"EXCEEDS (~{rel}%) — Spark's dynamic task scheduling beats "
+               "naive static file-splitting at saturation —")
     gap = round(100 * (1 - spark32 / mp32)) if mp32 else 0
     gap_txt = (f"is within {gap}% of" if gap >= 0 else
                f"exceeds by {-gap}%")
@@ -225,7 +228,7 @@ def host_ceiling_note() -> str:
         f"{mp32:,.0f} docs/sec on the heavy corpus): the 32-core VM "
         "saturates memory bandwidth well before 4x. Spark's 8 -> 32 result "
         f"({spark_eff}) is therefore measured against a ~{mp_eff} hardware "
-        f"ceiling, not 1.0 — the pipeline reaches ~{rel}% of what the host "
+        f"ceiling, not 1.0 — the pipeline {rel_txt} what the host "
         f"itself can scale, and its absolute local[32] pre-bucketed heavy throughput "
         f"({spark32:,.0f} docs/sec) {gap_txt} the no-framework "
         "multiprocessing figure (like-for-like: both read pre-placed "
