@@ -20,7 +20,7 @@ from pdfi_spark import ops
 from pdfi_spark.core.api import read_pdf
 from pdfi_spark.core.pdfgen import ORACLE_EXPECTED_SQL, ORACLE_PER_BLOCK, build_pdf
 from pdfi_spark.datagen import build_documents, build_documents_with_id
-from pdfi_spark.ops.dedup import MINHASH_SEEDS, SIMHASH_BITS
+from pdfi_spark.ops.dedup import MINHASH_LANE_OFFSETS, SIMHASH_BITS
 from pdfi_spark.ops.similarity import LSH_PLANES
 from pdfi_spark.ops.textstats import BPE_ISH_RE, EN_STOPWORDS
 from pdfi_spark.pipeline import extract_text
@@ -403,9 +403,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def _minhash_sig_cte() -> str:
+    # one md5 per word, four 32-bit lanes sliced from the single digest —
+    # in lockstep with ops.dedup.minhash_signatures
     hash_cols = ", ".join(
-        f"min(('0x' || substr(md5(word || '{seed}'), 1, 8))::BIGINT) AS h{i + 1}"
-        for i, seed in enumerate(MINHASH_SEEDS)
+        f"min(('0x' || substr(md5(word), {off}, 8))::BIGINT) AS h{i + 1}"
+        for i, off in enumerate(MINHASH_LANE_OFFSETS)
     )
     return (
         "WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word "

@@ -1,20 +1,28 @@
 """Deduplication operators: exact, MinHash(+LSH banding), SimHash, n-gram
-Jaccard. All JVM-side (explode/groupBy/higher-order functions); hashes are
-md5-derived so the DuckDB oracles can reproduce them bit-for-bit.
+Jaccard, and the end-to-end LSH -> verify -> connected-components keep-list.
+All JVM-side (higher-order functions / groupBy); hashes are md5-derived so
+the DuckDB oracles can reproduce them bit-for-bit, and each word is hashed
+exactly ONCE per operator (the md5 digest's four 32-bit lanes supply the
+MinHash permutations).
 
-Scale notes (100 TB): every operator below is a single shuffle on its
-grouping key (doc key, band bucket, or word). MinHash/SimHash shuffle
-exploded words — at 10^12 docs use `spark.sql.shuffle.partitions` sized to
-keep ~128MB per partition, and AQE handles stragglers; the band-bucket
-join output is the only potentially skewed stage (popular buckets), which
-AQE skew-join splitting covers.
+Scale notes (100 TB): MinHash/SimHash are ZERO-exchange narrow per-row
+folds (the signature never leaves the row); dedup_exact and LSH banding
+are a single shuffle on their grouping key. The band-bucket pair join is
+the only potentially skewed stage (popular buckets) — buckets are capped
+at MAX_LSH_BUCKET first, and residual moderate skew is AQE skew-join
+territory. Connected components uses the alternating large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), which converges in O(log n) rounds even on long-chain
+components.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-MINHASH_SEEDS = ["#1", "#2", "#3", "#4"]
+MINHASH_PERMS = 4
+# hex-digit start offsets (1-based) of the four 32-bit lanes of one md5
+MINHASH_LANE_OFFSETS = [1 + 8 * i for i in range(MINHASH_PERMS)]
 SIMHASH_BITS = 32
 
 
@@ -45,23 +53,44 @@ def _doc_words(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-permutation MinHash over the distinct word set of each document,
-    computed as a NARROW per-row map: array_distinct for the word set,
-    array_min over a transform for each permutation. NO explode and NO
-    shuffle — the signature never leaves the row (an explode+groupBy
-    formulation shuffles one row per word: a 10^15-row exchange at 10^12
-    docs; this plan exchanges nothing)."""
+    computed as a NARROW per-row map with ONE md5 per distinct word: the
+    128-bit digest is sliced into four independent 32-bit lanes (hex
+    digits [8i, 8i+8)), so the k "permutations" cost substrings, not k
+    hash invocations — at 100 TB the hash calls are the dominant CPU term
+    of this operator, and this is a straight 4x cut. The digest transform
+    is the aggregate's INPUT (evaluated once per word); the four running
+    minima accumulate in a single fold; h1..h4 are projected from the
+    result array in a SEPARATE select, which Catalyst keeps separate
+    because CollapseProject refuses to duplicate non-cheap producer
+    expressions. NO explode and NO shuffle — the signature never leaves
+    the row (an explode+groupBy formulation shuffles one row per word: a
+    10^15-row exchange at 10^12 docs; this plan exchanges nothing).
+    Single-evaluation + zero-exchange are both asserted in
+    tests/test_plans.py."""
     docs = _docs(spark, sf_dir)
     words = F.array_distinct(F.split("text", " "))
-
-    def perm_min(seed: str):
-        # single-arg lambda from a closure: a two-arg lambda would be
-        # treated by transform() as (element, index)
-        return F.array_min(
-            F.transform(words, lambda w: _hash32(F.concat(w, F.lit(seed))))
-        )
-
-    cols = [perm_min(seed).alias(f"h{i + 1}") for i, seed in enumerate(MINHASH_SEEDS)]
-    return docs.select("doc_id", *cols)
+    digests = F.transform(words, lambda w: F.md5(w))
+    offsets = F.array(*[F.lit(o) for o in MINHASH_LANE_OFFSETS])
+    init = F.array_repeat(F.lit(1 << 32).cast("long"), MINHASH_PERMS)
+    mins = F.aggregate(
+        digests,
+        init,
+        lambda acc, hx: F.zip_with(
+            acc,
+            offsets,
+            lambda m, off: F.least(
+                m, F.conv(hx.substr(off, F.lit(8)), 16, 10).cast("long")
+            ),
+        ),
+    )
+    sig = docs.select("doc_id", mins.alias("sig"))
+    return sig.select(
+        "doc_id",
+        *[
+            F.element_at("sig", i + 1).alias(f"h{i + 1}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
 
 
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,21 +110,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     argument as minhash_signatures)."""
     docs = _docs(spark, sf_dir)
     hashes = F.transform(F.split("text", " "), lambda w: _hash32(w))
+    # bit masks as a LITERAL array: the old sequence+pow formulation
+    # recomputed pow(2.0, b) per word per bit — 32 pow calls/word of pure
+    # waste; a literal array is built once at plan time
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
     bit_counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                # shiftright needs a literal shift, so test bit b with a
-                # column bitmask 2^b instead (exact: b <= 31)
-                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-                lambda b: F.when(
-                    h.bitwiseAND(
-                        F.pow(F.lit(2.0), b.cast("double")).cast("long")
-                    ) != 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)).cast("long"),
+                masks,
+                lambda mask: F.when(h.bitwiseAND(mask) != 0, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long"),
             ),
             lambda a, d: a + d,
         ),
@@ -170,48 +198,110 @@ def candidate_pairs(spark: SparkSession, sf_dir: str,
     )
 
 
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star step over the SYMMETRIC edge list: for each node u with
+    m(u) = min(Gamma(u) + {u}), attach every strictly-larger neighbor v
+    to m(u). Output is directed (child, parent) with parent < child."""
+    m = (
+        sym.groupBy("u").agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("m"))
+    )
+    return (
+        sym.where(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Small-star step over directed (child, parent) edges (parent <
+    child): for each child u with parent set P(u), m = min(P(u)); relink
+    every other parent to m and keep (u, m)."""
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        directed.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    keep = m.select("u", F.col("m").alias("v"))
+    return relink.unionAll(keep).distinct()
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame,
                          max_iters: int = CC_MAX_ITERS) -> DataFrame:
-    """Hash-min label propagation: every node's label converges to the
-    smallest doc_id in its component. Each iteration is one join + one
-    aggregate (both on doc_id); lineage is cut per iteration with
-    localCheckpoint so plans stay flat. Iterations ~ component diameter
-    (near-dup clusters are shallow); at 10^12-doc scale swap the loop
-    body for the large-star/small-star variant, which is the same joins
-    with an extra degree test.
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round is two groupBy-min + join passes, and the edge set
+    converges to a forest of stars centered at each component's minimum
+    node in O(log n) rounds — including on adversarial long-chain
+    components, where plain hash-min label propagation needs O(diameter)
+    rounds (both pinned in tests/test_dedup_cc.py). Lineage is cut per
+    round with localCheckpoint so plans stay flat.
 
-    Convergence is detected for free: labels only ever DECREASE under
-    min-propagation, so sum(cluster_id) is a fixpoint witness — it is
-    collected as an observed metric on the checkpoint job itself, so each
-    iteration costs exactly one Spark job (no compare-join, no extra
-    action).
+    Convergence is detected for free on the checkpoint job itself via an
+    Observation: the star steps are deterministic, so an unchanged edge
+    multiset is a fixpoint. The multiset is witnessed by exact aggregates
+    (count, sum(u), sum(v), and a bit-mixed xxhash64 checksum); the sums
+    use try_sum, so a (theoretical, 10^12-scale) overflow yields NULL,
+    which is treated as "not converged" — the loop then just runs more
+    rounds, never falsely stops.
+
+    If the round cap is hit before the fixpoint is observed, a
+    UserWarning is raised (labels may be truncated mid-merge) rather than
+    returning silently.
 
     edges: (u, v) directed both ways; nodes: (doc_id). Returns
-    (doc_id, cluster_id)."""
+    (doc_id, cluster_id) where cluster_id = the smallest doc_id in the
+    node's component (singletons map to themselves)."""
+    import warnings
+
     from pyspark.sql import Observation
 
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
-    prev_sum = None
+    directed: DataFrame | None = None
+    prev: tuple | None = None
+    converged = False
     for i in range(max_iters):
-        msgs = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .select(edges["u"].alias("doc_id"), "cluster_id")
-        )
-        obs = Observation(f"cc_iter_{i}")
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .observe(obs, F.sum("cluster_id").alias("label_sum"))
+        if directed is None:
+            sym = edges.select("u", "v")
+        else:
+            sym = directed.unionAll(
+                directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+        obs = Observation(f"cc_round_{i}")
+        stepped = (
+            _small_star(_large_star(sym))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.try_sum("u").alias("su"),
+                F.try_sum("v").alias("sv"),
+                F.try_sum(F.shiftright(F.xxhash64("u", "v"), 8)).alias("ck"),
+            )
             .localCheckpoint(eager=True)
         )
-        label_sum = obs.get["label_sum"]
-        labels = new_labels
-        if label_sum == prev_sum:
+        got = obs.get
+        cur = (got["n"], got["su"], got["sv"], got["ck"])
+        directed = stepped
+        if cur[0] == 0 or (cur == prev and all(x is not None for x in cur)):
+            converged = True
             break
-        prev_sum = label_sum
-    return labels
+        prev = cur
+    if not converged:
+        warnings.warn(
+            f"connected_components hit the {max_iters}-round cap before "
+            "the star-forest fixpoint was observed; labels may be "
+            "truncated mid-merge",
+            stacklevel=2,
+        )
+    parents = directed.groupBy("u").agg(F.min("v").alias("parent"))
+    return (
+        nodes.join(parents, nodes["doc_id"] == parents["u"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("parent", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,10 @@ def _plan(df) -> str:
 def test_minhash_signatures_has_zero_exchanges(spark):
     plan = _plan(ops.minhash_signatures(spark, SF))
     assert plan.count("Exchange") == 0
+    # ONE md5 per word: the digest transform must appear exactly once —
+    # if projection collapse ever inlines the fold into the four h1..h4
+    # projections, md5 shows up 4x and per-word hashing quadruples
+    assert plan.count("md5") == 1, plan
 
 
 def test_simhash_has_zero_exchanges(spark):

@@ -212,7 +212,13 @@ def host_ceiling_note() -> str:
     mp8 = mp_data["results"]["8"]["docs_per_sec"]
     mp32 = mp_data["results"]["32"]["docs_per_sec"]
     spark_eff = heavy["efficiency"].get("8->32")
-    spark32 = heavy["results"]["32"]["docs_per_sec"]
+    spark32 = heavy["results"].get("32", {}).get("docs_per_sec")
+    if spark_eff is None or spark32 is None:
+        # mirror the mp_eff guard: without an 8->32 Spark pair the
+        # relative figures are uncomputable — say so instead of crashing
+        return ("Host context: the heavy scaling ledger has no 8->32 "
+                "pair yet; run `python tools/bench_scaling.py --levels "
+                "8,32 --job direct --style heavy` to measure it.")
     rel = round(100 * spark_eff / mp_eff) if mp_eff else 0
     rel_txt = (f"reaches ~{rel}% of" if rel <= 100 else
                f"EXCEEDS (~{rel}%) — Spark's dynamic task scheduling beats "
