@@ -373,7 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
     out["embedding_neardup_topk"] = ops.embedding_neardup_topk
     out["ivf_cell_counts"] = ops.ivf_cell_counts
-    out["ivf_train_cells"] = ops.ivf_train_cells  # iterative k-means: rows-only check, no SQL twin
+    out["ivf_train_cells"] = ops.ivf_train_cells
     out["ivf_topk"] = ops.ivf_topk
     out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
     out["lang_stopwords"] = ops.lang_stopword_counts
@@ -456,6 +456,57 @@ def _ivf_assigned_cte() -> str:
         "QUALIFY row_number() OVER (PARTITION BY vec_id "
         "ORDER BY cos_c DESC, centroid_id ASC) = 1)"
     )
+
+
+def _ivf_train_sql(iters: int = 2) -> str:
+    """Unrolled 2-iteration Lloyd twin of ops.similarity.ivf_train_cells.
+    The float-mean determinism problem (double sums depend on partition
+    order) is neutralized the same way the Spark side neutralizes it:
+    every updated centroid is cast to FLOAT32 per element (Spark:
+    cast("array<float>"); DuckDB: m::FLOAT), which rounds away the
+    sub-ULP summation-order noise, so both engines iterate from
+    bit-identical codebooks."""
+    from pdfi_spark.ops.similarity import N_CENTROIDS
+
+    def cos(a: str, b: str) -> str:
+        return _COSINE_RAW.format(a=a, b=b)
+
+    parts = [
+        "WITH cent0 AS (SELECT vec_id AS centroid_id, embedding AS cvec "
+        f"FROM embeddings WHERE vec_id < {N_CENTROIDS})"
+    ]
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"a{it} AS (SELECT e.vec_id, e.embedding, c.centroid_id "
+            f"FROM embeddings e CROSS JOIN {prev} c "
+            "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"{cos('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC) = 1)"
+        )
+        parts.append(
+            f"d{it} AS (SELECT centroid_id, "
+            "unnest(range(1, len(embedding) + 1)) AS dim, "
+            f"unnest(list_transform(embedding, x -> x::DOUBLE)) AS v FROM a{it})"
+        )
+        parts.append(
+            f"m{it} AS (SELECT centroid_id, list(m::FLOAT ORDER BY dim) AS new_cvec "
+            f"FROM (SELECT centroid_id, dim, avg(v) AS m FROM d{it} GROUP BY 1, 2) "
+            "GROUP BY centroid_id)"
+        )
+        parts.append(
+            f"cent{it} AS (SELECT c.centroid_id, coalesce(m.new_cvec, c.cvec) AS cvec "
+            f"FROM {prev} c LEFT JOIN m{it} m USING (centroid_id))"
+        )
+        prev = f"cent{it}"
+    final = (
+        "SELECT centroid_id, count(*) AS n_vecs FROM "
+        "(SELECT e.vec_id, c.centroid_id "
+        f"FROM embeddings e CROSS JOIN {prev} c "
+        "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{cos('e.embedding', 'c.cvec')} DESC, c.centroid_id ASC) = 1) "
+        "GROUP BY centroid_id"
+    )
+    return ", ".join(parts) + " " + final
 
 
 def _lsh_bucket_expr() -> str:
@@ -719,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         _ivf_assigned_cte()
         + " SELECT centroid_id, count(*) AS n_vecs FROM assigned GROUP BY centroid_id"
     )
+    out["ivf_train_cells"] = _ivf_train_sql()
     cos_q = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
     cos_cq = _COSINE_RAW.format(a="cvec", b="q.qvec")
     cos_aq = _COSINE_RAW.format(a="a.embedding", b="q.qvec")

@@ -228,10 +228,13 @@ def kmeans_codebook(emb: DataFrame, n: int = N_CENTROIDS,
 def ivf_train_cells(spark: SparkSession, sf_dir: str,
                     iters: int = 2) -> DataFrame:
     """IVF build with a TRAINED codebook (2 Lloyd iterations) instead of
-    the first-n stand-in: cell occupancy per trained centroid. Iterative
-    + float-mean-dependent, so this query takes the driver's rows-only
-    check (no closed-form SQL twin); exactness is pinned by
-    tests/test_kmeans.py on hand-computable inputs."""
+    the first-n stand-in: cell occupancy per trained centroid. Has a full
+    DuckDB twin (__spark_entry__._ivf_train_sql unrolls the two Lloyd
+    steps in SQL): the per-iteration cast to array<float> below is what
+    makes the float means cross-engine deterministic — it rounds away the
+    sub-ULP double-summation-order noise, so both engines iterate from
+    bit-identical codebooks. Exactness on hand-computable inputs is also
+    pinned by tests/test_kmeans.py."""
     emb = _emb(spark, sf_dir)
     codebook = kmeans_codebook(emb, iters=iters)
     assigned = _ivf_assign(emb, centroids=codebook)
