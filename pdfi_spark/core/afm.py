@@ -12,12 +12,23 @@ transcribed from the Adobe Core-14 AFM files:
 - accented composites (Aacute, ugrave, ...) derive their width from the
   base glyph, exactly as the AFM ``CC`` composite definitions do;
 - Courier variants are fixed-pitch 600 across the whole charset;
-- Symbol ships its full Greek/operator set; ZapfDingbats ships `space`
-  only (its a1..a191 widths are omitted — unmapped dingbats measure at
-  the 1000 default, and dingbat extraction is presentation-only).
+- Symbol ships its full charset (Greek/operators plus the arrows, card
+  suits, bracket/paren/integral pieces, florin, aleph/fraktur block);
+- ZapfDingbats ships the full a1..a206 dingbat metrics in AFM
+  char-metric order (the table below transcribes the public Adobe
+  ZapfDingbats.afm data, C 32..254 rows first, unencoded C -1 rows
+  last — order matters, see next paragraph).
 
-Glyphs outside these tables measure at the 1000 default width, matching
-the reference's behavior for names its AGL lookup misses.
+The reference keys its AFM width map by the AGL-decoded string
+(font/index.ts:402-408 ``widthMapping[glyphlist[cm.name]] = cm.width``).
+A name the AGL cannot decode yields JS ``undefined``, which property
+access folds into ONE shared key that each such name overwrites — so in
+the reference every non-AGL name collapses to a single catch-all width,
+last writer (in AFM file order) winning, and that catch-all is what an
+encoding-less char code measures at. fonts.py mirrors this with the
+``None`` key: the AFM tables here must therefore iterate in AFM file
+order. Glyphs outside these tables measure at the 1000 default width,
+matching the reference's behavior for names its AGL lookup misses.
 """
 from __future__ import annotations
 
@@ -259,9 +270,65 @@ eta 603 iota 329 phi1 603 kappa 549 lambda 549 mu 576 nu 521 omicron 549
 pi 549 theta 521 rho 549 sigma 603 tau 439 upsilon 576 omega1 713
 omega 686 xi 493 psi 686 zeta 494
 braceleft 480 bar 200 braceright 480 similar 549
+Upsilon1 620 minute 247 lessequal 549 fraction 167 infinity 713
+florin 500 club 753 diamond 753 heart 753 spade 753 arrowboth 1042
+arrowleft 987 arrowup 603 arrowright 987 arrowdown 603 degree 400
+plusminus 549 second 411 greaterequal 549 multiply 549 proportional 713
+partialdiff 494 bullet 460 divide 549 notequal 549 equivalence 549
+approxequal 549 ellipsis 1000 arrowvertex 603 arrowhorizex 1000
+carriagereturn 658 aleph 823 Ifraktur 686 Rfraktur 795 weierstrass 987
+circlemultiply 768 circleplus 768 emptyset 823 intersection 768
+union 768 propersuperset 713 reflexsuperset 713 notsubset 713
+propersubset 713 reflexsubset 713 element 713 notelement 713 angle 768
+gradient 713 registerserif 790 copyrightserif 790 trademarkserif 890
+product 823 radical 549 dotmath 250 logicalnot 713 logicaland 603
+logicalor 603 arrowdblboth 1042 arrowdblleft 987 arrowdblup 603
+arrowdblright 987 arrowdbldown 603 lozenge 494 angleleft 329
+registersans 790 copyrightsans 790 trademarksans 786 summation 713
+parenlefttp 384 parenleftex 384 parenleftbt 384 bracketlefttp 384
+bracketleftex 384 bracketleftbt 384 bracelefttp 494 braceleftmid 494
+braceleftbt 494 braceex 494 angleright 329 integral 274 integraltp 686
+integralex 686 integralbt 686 parenrighttp 384 parenrightex 384
+parenrightbt 384 bracketrighttp 384 bracketrightex 384
+bracketrightbt 384 bracerighttp 494 bracerightmid 494 bracerightbt 494
+apple 790 Euro 750
 """)
 
-_ZAPF = _parse("space 278")
+# ZapfDingbats.afm char metrics in FILE ORDER (C 32..126, C 161..254,
+# then the unencoded C -1 rows) — insertion order drives the non-AGL
+# catch-all (None key) last-writer semantics described in the module
+# docstring. Public Adobe data.
+_ZAPF = _parse("""
+space 278
+a1 974 a2 961 a202 974 a3 980 a4 719 a5 789 a119 790 a118 791 a117 690
+a11 960 a12 939 a13 549 a14 855 a15 911 a16 933 a105 911 a17 945
+a18 974 a19 755 a20 846 a21 762 a22 761 a23 571 a24 677 a25 763
+a26 760 a27 759 a28 754 a6 494 a7 552 a8 537 a9 577 a10 692 a29 786
+a30 788 a31 788 a32 790 a33 793 a34 794 a35 816 a36 823 a37 789
+a38 841 a39 823 a40 833 a41 816 a42 831 a43 923 a44 744 a45 723
+a46 749 a47 790 a48 792 a49 695 a50 776 a51 768 a52 792 a53 759
+a54 707 a55 708 a56 682 a57 701 a58 826 a59 815 a60 789 a61 789
+a62 707 a63 687 a64 696 a65 689 a66 786 a67 787 a68 713 a69 791
+a70 785 a71 791 a72 873 a73 761 a74 762 a203 762 a75 759 a204 759
+a76 892 a77 892 a78 788 a79 784 a81 438 a82 138 a83 277 a84 415
+a97 392 a98 392 a99 668 a100 668
+a101 732 a102 544 a103 544 a104 910 a106 667 a107 760 a108 760
+a112 776 a111 595 a110 694 a109 626
+a120 788 a121 788 a122 788 a123 788 a124 788 a125 788 a126 788
+a127 788 a128 788 a129 788 a130 788 a131 788 a132 788 a133 788
+a134 788 a135 788 a136 788 a137 788 a138 788 a139 788 a140 788
+a141 788 a142 788 a143 788 a144 788 a145 788 a146 788 a147 788
+a148 788 a149 788 a150 788 a151 788 a152 788 a153 788 a154 788
+a155 788 a156 788 a157 788 a158 788 a159 788
+a160 894 a161 838 a163 1016 a164 458 a196 748 a165 924 a192 748
+a166 918 a167 927 a168 928 a169 928 a170 834 a171 873 a172 828
+a173 924 a162 924 a174 917 a175 930 a176 931 a177 463 a178 883
+a179 836 a193 836 a180 867 a199 867 a181 696 a200 696 a182 874
+a201 874 a183 760 a184 946 a197 771 a185 865 a194 771 a198 888
+a186 967 a195 888 a187 831 a188 873 a189 927 a190 970 a191 918
+a89 390 a90 390 a93 317 a94 317 a91 276 a92 276 a205 509 a85 509
+a206 410 a86 410 a87 234 a88 234 a95 334 a96 334
+""")
 
 CORE14_WIDTHS: dict[str, dict[str, int]] = {
     "Helvetica": _font(_HELVETICA_ASCII, _HELVETICA_EXTRAS),

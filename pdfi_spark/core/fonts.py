@@ -305,12 +305,16 @@ class Type1Font(Font):
         elif base_font_name in CORE14_WIDTHS:
             # Core-14 AFM fallback: key by DECODED STRING via the AGL,
             # exactly like the reference (font/index.ts:402-408
-            # widthMapping[glyphlist[cm.name]] = cm.width; default 1000)
+            # widthMapping[glyphlist[cm.name]] = cm.width; default 1000).
+            # Names the AGL cannot decode collapse to the None key —
+            # mirroring JS, where widthMapping[undefined] is one shared
+            # "undefined" property that each such name overwrites (last
+            # writer in AFM order wins) and that encoding-less char codes
+            # then look up. Matters for ZapfDingbats, whose aN names are
+            # mostly non-AGL.
             self._width_mapping = {}
             for glyph_name, width in CORE14_WIDTHS[base_font_name].items():
-                s = GLYPHLIST.get(glyph_name)
-                if s is not None:
-                    self._width_mapping[s] = width
+                self._width_mapping[GLYPHLIST.get(glyph_name)] = width
             self._default_width = AFM_DEFAULT_WIDTH
         else:
             raise ValueError(

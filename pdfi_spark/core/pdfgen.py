@@ -1009,6 +1009,80 @@ RECIPES["macroman"] = recipe_macroman
 ORACLE_EXPECTED_SQL["macroman"] = _DEFAULT_EXPECTED_SQL
 
 
+# a-p -> dingbat characters reached through the AGL-decodable aN glyph
+# names (all normalize()-stable); remaining chars go through uniXXXX
+ZAPF_TRANSLATE_SRC = "abcdefghijklmnop"
+ZAPF_GLYPH_NAMES = [
+    "a1", "a2", "a3", "a4", "a40", "a41", "a42", "a43",
+    "a48", "a49", "a50", "a51", "a58", "a59", "a60", "a61",
+]
+
+
+def _zapf_table() -> tuple[dict[str, str], str]:
+    """(char -> ZapfDingbats glyph name for a-p, translate destination)."""
+    from .encoding.glyphlist import GLYPHLIST
+
+    name_of = dict(zip(ZAPF_TRANSLATE_SRC, ZAPF_GLYPH_NAMES))
+    dst = "".join(GLYPHLIST[n] for n in ZAPF_GLYPH_NAMES)
+    return name_of, dst
+
+
+def recipe_zapf_dingbats(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """Widths-less /ZapfDingbats Type1 font: measuring must fall back to
+    the full ZapfDingbats AFM table (core/afm.py; reference
+    font/index.ts:389-411), and the per-word TJ kern gaps mean every word
+    advance runs through real a1..a191 dingbat widths. Letters a-p map
+    via Encoding /Differences to dingbat aN names the AGL can decode;
+    everything else goes through uniXXXX (those codes measure at the
+    AFM-miss behavior: the None-key catch-all / 1000 default). Expected
+    output = translate(text)."""
+    name_of, dst = _zapf_table()
+    trans = str.maketrans(ZAPF_TRANSLATE_SRC, dst)
+    blocks = split_blocks(wrap_text(text), per_block)
+    alphabet = sorted(set("".join(" ".join(b) for b in blocks)))
+    assert len(alphabet) <= 96, "zapf recipe supports <=96 distinct chars"
+    code_of = {ch: 128 + i for i, ch in enumerate(alphabet)}
+    differences: list = [128]
+    differences.extend(
+        Name(name_of[ch]) if ch in name_of else Name("uni%04X" % ord(ch))
+        for ch in alphabet
+    )
+    font = {
+        "Type": Name("Font"),
+        "Subtype": Name("Type1"),
+        "BaseFont": Name("ZapfDingbats"),
+        "Encoding": {
+            "Type": Name("Encoding"),
+            "BaseEncoding": Name("WinAnsiEncoding"),
+            "Differences": differences,
+        },
+    }
+    ops = [b"BT /F1 %d Tf" % FONT_SIZE]
+    y = PAGE_TOP
+    for block in blocks:
+        for line in block:
+            parts = []
+            for i, word in enumerate(line.split(" ")):
+                if i > 0:
+                    parts.append(b"-300")
+                encoded = bytes(code_of[ch] for ch in word)
+                parts.append(b"(%s)" % _escape_string(encoded))
+            ops.append(b"1 0 0 1 %d %d Tm [ %s ] TJ" % (PAGE_X, y, b" ".join(parts)))
+            y -= LEADING
+        y -= BLOCK_GAP - LEADING
+    ops.append(b"ET")
+    pdf = make_single_page(b"\n".join(ops), font_objects={"F1": font})
+    expected_blocks = [[line.translate(trans) for line in b] for b in blocks]
+    return pdf, expected_string(expected_blocks)
+
+
+RECIPES["zapf_dingbats"] = recipe_zapf_dingbats
+ORACLE_EXPECTED_SQL["zapf_dingbats"] = (
+    "'# ' || chr(10) || translate({col}, '%s', '%s')"
+    % (ZAPF_TRANSLATE_SRC, _zapf_table()[1])
+)
+
+
 INFO_AUTHOR = "pdfgen synthetic corpus"
 
 
