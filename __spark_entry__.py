@@ -284,6 +284,37 @@ def _layout_lines_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The checkpointed wave-mode writer's kill-and-resume contract under
+    the hash gate: run waves over 4 buckets, truncate the manifest to
+    simulate a kill after the first two bucket commits, resume, and
+    return the FINAL on-disk output — every document exactly once, text
+    matching the flate golden, plus the resumed run's buckets_skipped
+    count (must be 2: committed buckets are never reprocessed)."""
+    import json
+    import tempfile
+
+    from pdfi_spark.pipeline import CheckpointStore, read_extracted, run_pipeline
+
+    docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
+    payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
+    out = tempfile.mkdtemp(prefix="pdfi_resume_q_")
+    run_pipeline(spark, payload, out, n_buckets=4, wave_size=2)
+    store = CheckpointStore(out)
+    committed = store.metrics()[:2]
+    with open(store.manifest_path, "w", encoding="utf-8") as f:
+        for row in committed:
+            f.write(json.dumps(row) + "\n")
+    summary = run_pipeline(
+        spark, payload, out, run_id="resume", n_buckets=4, wave_size=2
+    )
+    return read_extracted(spark, out).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "text",
+        F.lit(int(summary["buckets_skipped"])).alias("buckets_skipped"),
+    )
+
+
 def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of extract_flate: readStream over the
     same synthetic corpus -> mapInPandas extraction -> memory sink, one
@@ -349,43 +380,14 @@ def _session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered so a prefix-sampling gate covers everything that most
+    needs driver evidence first: (1) the 13 queries the r2 gate did not
+    sample (all green in tools/check_oracles.py), (2) operators that are
+    new or whose implementation changed this round, (3) the remainder,
+    ending with the longest-established extract_* recipes (green in
+    every round so far and smoke-covered by entry())."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for recipe in ORACLE_EXPECTED_SQL:
-        out[f"extract_{recipe}"] = _extract_query(recipe)
-    out["extract_meta"] = _extract_meta_query
-    out["extract_errors"] = _extract_errors_query
-    out["extract_corrupt"] = _extract_corrupt_query
-    out["extract_sections_struct"] = _extract_sections_struct_query
-    out["extract_handmade"] = _extract_handmade_query
-    out["trailer_metadata"] = _metadata_query
-    out["info_metadata"] = _info_metadata_query
-    out["xref_count"] = _xref_count_query
-    out["nation_revenue_topk"] = ops.nation_revenue_topk
-    out["top_events_per_user"] = ops.top_events_per_user
-    out["dedup_exact"] = ops.dedup_exact
-    out["dedup_clusters"] = ops.dedup_clusters
-    out["minhash_signatures"] = ops.minhash_signatures
-    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
-    out["simhash"] = ops.simhash
-    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
-    out["cosine_topk"] = ops.cosine_topk
-    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
-    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
-    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
-    out["ivf_cell_counts"] = ops.ivf_cell_counts
-    out["ivf_train_cells"] = ops.ivf_train_cells
-    out["ivf_topk"] = ops.ivf_topk
-    out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
-    out["lang_stopwords"] = ops.lang_stopword_counts
-    out["lang_id_ngram"] = ops.lang_id_ngram
-    out["quality_scores"] = ops.quality_scores
-    out["token_counts"] = ops.token_counts
-    out["doc_fingerprint"] = ops.doc_fingerprint
-    out["decontaminate"] = ops.decontaminate
-    out["corpus_stats"] = ops.corpus_stats
-    out["repetition_scores"] = ops.repetition_scores
-    out["quality_filter"] = ops.quality_filter
-    out["stratified_sample"] = ops.stratified_sample
+    # -- group 1: driver-unsampled in round 2 --
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
     out["media_resize"] = ops.media_resize
@@ -394,7 +396,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["sessionize_events"] = _sessionize_query
     out["session_window_events"] = _session_window_query
     out["streaming_dedup_state"] = _streaming_dedup_state_query
+    out["corpus_stats"] = ops.corpus_stats
+    out["repetition_scores"] = ops.repetition_scores
+    out["quality_filter"] = ops.quality_filter
+    out["stratified_sample"] = ops.stratified_sample
     out["layout_lines_window"] = _layout_lines_window_query
+    # -- group 2: new or changed in round 3 --
+    out["ivf_train_cells"] = ops.ivf_train_cells
+    out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
+    out["pipeline_resume_counts"] = _pipeline_resume_query
+    out["minhash_signatures"] = ops.minhash_signatures
+    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
+    out["simhash"] = ops.simhash
+    out["dedup_clusters"] = ops.dedup_clusters
+    # -- group 3: stable since earlier rounds --
+    out["nation_revenue_topk"] = ops.nation_revenue_topk
+    out["top_events_per_user"] = ops.top_events_per_user
+    out["dedup_exact"] = ops.dedup_exact
+    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
+    out["cosine_topk"] = ops.cosine_topk
+    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
+    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
+    out["ivf_cell_counts"] = ops.ivf_cell_counts
+    out["ivf_topk"] = ops.ivf_topk
+    out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
+    out["lang_stopwords"] = ops.lang_stopword_counts
+    out["lang_id_ngram"] = ops.lang_id_ngram
+    out["quality_scores"] = ops.quality_scores
+    out["token_counts"] = ops.token_counts
+    out["doc_fingerprint"] = ops.doc_fingerprint
+    out["decontaminate"] = ops.decontaminate
+    out["extract_sections_struct"] = _extract_sections_struct_query
+    out["extract_handmade"] = _extract_handmade_query
+    out["extract_corrupt"] = _extract_corrupt_query
+    out["trailer_metadata"] = _metadata_query
+    out["info_metadata"] = _info_metadata_query
+    out["xref_count"] = _xref_count_query
+    out["extract_meta"] = _extract_meta_query
+    out["extract_errors"] = _extract_errors_query
+    for recipe in ORACLE_EXPECTED_SQL:
+        out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
 
 
@@ -832,6 +874,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ORACLE_EXPECTED_SQL["flate"].format(col="text")
         + " AS text FROM documents"
+    )
+    out["pipeline_resume_counts"] = (
+        "SELECT doc_id, "
+        + ORACLE_EXPECTED_SQL["flate"].format(col="text")
+        + " AS text, 2 AS buckets_skipped FROM documents"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

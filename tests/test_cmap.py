@@ -229,3 +229,48 @@ def test_astral_cmap_roundtrip_nfkc_folds_to_ascii():
                               per_block=ORACLE_PER_BLOCK)
     assert expected == "# \nmath bold words"
     assert read_pdf(pdf, type="string") == expected
+
+
+def test_astral_bfchar_decodes_pair_and_counts_two_units():
+    """A bfchar (not just bfrange) whose target is a UTF-16BE surrogate
+    PAIR must decode to ONE astral character — and charSpacing-sensitive
+    sites must still count it as TWO code units (JS text.length), which
+    is what util.utf16_length feeds showString (content.py)."""
+    from pdfi_spark.core.util import utf16_length
+
+    check(
+        """/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0041> <D835DC00>
+<0042> <D83DDE00>
+endbfchar
+endcmap end end""",
+        {
+            "codeSpaceRanges": [{"low": 0, "high": 65535}],
+            "mappings": [
+                {"src": 0x41, "dst": "\U0001d400", "byteLength": 2},
+                {"src": 0x42, "dst": "\U0001f600", "byteLength": 2},
+            ],
+            "byteLength": 2,
+        },
+    )
+    assert utf16_length("\U0001d400") == 2
+    assert utf16_length("\U0001f600") == 2
+    assert utf16_length("a\U0001f600b") == 4
+
+
+def test_lone_surrogate_bfchar_survives():
+    """A malformed bfchar target that is a LONE high surrogate must pass
+    through unpaired (JS string semantics; _decode_utf16be surrogatepass)
+    and count as one code unit."""
+    from pdfi_spark.core.cmap import _decode_utf16be
+    from pdfi_spark.core.util import utf16_length
+
+    lone = _decode_utf16be(b"\xd8\x3d")
+    assert lone == "\ud83d"
+    assert utf16_length(lone) == 1
