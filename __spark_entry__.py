@@ -402,6 +402,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["stratified_sample"] = ops.stratified_sample
     out["layout_lines_window"] = _layout_lines_window_query
     # -- group 2: new or changed in round 3 --
+    from pdfi_spark.ops.webtext import HTML_ORACLE_RECIPES
+
+    for recipe in HTML_ORACLE_RECIPES:
+        out[f"html_{recipe}"] = ops.html_main_content(recipe)
+    out["html_block_stats"] = ops.html_block_stats
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
     out["pipeline_resume_counts"] = _pipeline_resume_query
@@ -879,6 +884,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, "
         + ORACLE_EXPECTED_SQL["flate"].format(col="text")
         + " AS text, 2 AS buckets_skipped FROM documents"
+    )
+    from pdfi_spark.ops.webtext import (
+        BOILER_N_BOILER_BLOCKS, BOILER_N_BOILER_WORDS, HTML_ORACLE_RECIPES,
+    )
+
+    # boilerplate stripping must recover the golden text exactly, for
+    # every page shape (plain/boiler/linkfarm/entities/nested/malformed)
+    for recipe in HTML_ORACLE_RECIPES:
+        out[f"html_{recipe}"] = "SELECT doc_id, text AS main_text FROM documents"
+    out["html_block_stats"] = (
+        f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "
+        "1::INTEGER AS n_content_blocks, "
+        f"{BOILER_N_BOILER_BLOCKS}::INTEGER AS n_boiler_blocks, "
+        "len(string_split(text, ' '))::INTEGER AS n_content_words, "
+        f"{BOILER_N_BOILER_WORDS}::INTEGER AS n_boiler_words FROM documents"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -1,0 +1,103 @@
+"""DOM-heuristic boilerplate stripping (core/html.py + core/htmlgen.py)."""
+import pytest
+
+from pdfi_spark.core.html import (
+    MAX_LINK_DENSITY,
+    MIN_CONTENT_WORDS,
+    block_stats,
+    extract_main_text,
+    parse_blocks,
+)
+from pdfi_spark.core.htmlgen import HTML_RECIPES, ORACLE_PER_BLOCK, build_html
+
+LONG = ("fast column table row filter key fast agg query order scan slow "
+        "zebra quick jump vex more words here to make it long enough for "
+        "several lines of wrapped content in the page")
+
+
+@pytest.mark.parametrize("recipe", sorted(HTML_RECIPES))
+def test_recipe_roundtrip_single_paragraph(recipe):
+    page, expected = build_html(LONG, recipe, per_block=ORACLE_PER_BLOCK)
+    assert extract_main_text(page) == expected == LONG
+
+
+@pytest.mark.parametrize("recipe", sorted(HTML_RECIPES))
+def test_recipe_roundtrip_multi_paragraph(recipe):
+    page, expected = build_html(LONG, recipe, per_block=2)
+    assert extract_main_text(page) == expected
+    assert "\n" in expected  # actually multi-paragraph
+
+
+def test_script_style_head_dropped_structurally():
+    page = (b"<html><head><title>t</title><style>p{}</style></head><body>"
+            b"<script>var x = 'not content words here at all';</script>"
+            b"<p>real content words live here</p></body></html>")
+    assert extract_main_text(page) == "real content words live here"
+
+
+def test_link_density_boundary():
+    # 9 words, 3 linked -> 1/3 == MAX_LINK_DENSITY -> still content
+    at = "<p>one two three four five six <a>x y z</a></p>"
+    blocks = parse_blocks(at)
+    assert blocks[0]["n_words"] == 9 and blocks[0]["n_link_words"] == 3
+    assert blocks[0]["is_content"]
+    # 8 words, 3 linked -> 0.375 > 1/3 -> boilerplate
+    over = "<p>one two three four five <a>x y z</a></p>"
+    assert not parse_blocks(over)[0]["is_content"]
+
+
+def test_adjacent_anchors_count_separate_words():
+    # <a>privacy</a> <a>terms</a> <a>contact</a>: 3 link words even
+    # though the separating spaces live outside the anchors
+    page = "<p>site links here now then <a>privacy</a> <a>terms</a> <a>contact</a></p>"
+    b = parse_blocks(page)[0]
+    assert b["n_words"] == 8 and b["n_link_words"] == 3
+
+
+def test_short_blocks_are_boilerplate():
+    page = "<div>too short</div><p>%s</p>" % ("word " * MIN_CONTENT_WORDS).strip()
+    blocks = parse_blocks(page)
+    assert not blocks[0]["is_content"]
+    assert blocks[1]["is_content"]
+
+
+def test_inline_tags_do_not_split_blocks():
+    page = "<p>bold <b>middle</b> and <em>emphasis</em> stay one block</p>"
+    blocks = parse_blocks(page)
+    assert len(blocks) == 1
+    assert blocks[0]["text"] == "bold middle and emphasis stay one block"
+
+
+def test_charrefs_decode():
+    page = "<p>f&#97;st &amp; loose tr&#101;e words</p>"
+    assert extract_main_text(page) == "fast & loose tree words"
+
+
+def test_malformed_soup_is_contained():
+    page = b"</div><p><b>unclosed tags still extract these words<p>and a second block here"
+    got = extract_main_text(page)
+    assert got == "unclosed tags still extract these words\nand a second block here"
+    # garbage never raises
+    assert extract_main_text(b"\xff\xfe<<<>>>") == ""
+    assert extract_main_text(b"") == ""
+
+
+def test_block_stats_split():
+    page, _ = build_html(LONG, "boiler", per_block=ORACLE_PER_BLOCK)
+    stats = block_stats(page)
+    assert stats["n_content_blocks"] == 1
+    assert stats["n_blocks"] == stats["n_content_blocks"] + stats["n_boiler_blocks"]
+    assert stats["n_content_words"] == len(LONG.split(" "))
+
+
+def test_boilerplate_is_classified_not_tag_keyed():
+    # the same nav/footer CONTENT inside <p> tags must still be dropped:
+    # classification rides on word count + link density, not tag names
+    page = ('<p><a href="/">home</a></p>'
+            '<p>actual article prose long enough to stay</p>'
+            '<p>© 2026 example corp · <a>privacy</a> <a>terms</a> <a>contact</a></p>')
+    assert extract_main_text(page) == "actual article prose long enough to stay"
+
+
+def test_max_link_density_is_the_published_third():
+    assert abs(MAX_LINK_DENSITY - 1 / 3) < 1e-12

@@ -94,6 +94,16 @@ def test_textstats_are_narrow_maps(spark, fn):
     assert plan.count("Exchange") == 0
 
 
+def test_html_extraction_is_narrow_and_prunes_scan(spark):
+    # the fused generate+strip mapInPandas: zero exchanges, and only
+    # doc_id+text reach Python (lang/n_chars/source pruned at the scan)
+    plan = _plan(ops.html_main_content("boiler")(spark, SF))
+    assert plan.count("Exchange") == 0
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "lang" not in read_schema[0] and "n_chars" not in read_schema[0]
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The steady-state 100 TB layout claim, executed: two tables
     bucketed by the SAME key/count join with ZERO Exchange (each task
