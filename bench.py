@@ -123,6 +123,8 @@ def main() -> int:
         "embedding_neardup_topk": ops.embedding_neardup_topk,
         "ivf_train_cells": ops.ivf_train_cells,
         "nation_revenue_topk": ops.nation_revenue_topk,
+        "html_main_content": ops.html_main_content("boiler"),
+        "html_block_stats": ops.html_block_stats,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",
