@@ -1,0 +1,77 @@
+"""Fast in-suite replica of the driver's correctness gate: a
+representative subset of __spark_entry__ queries vs their DuckDB oracles
+at sf0.001 (the full 65-query sweep at sf0.01 lives in
+tools/check_oracles.py, ~4 min). Comparison is the same
+order-insensitive sorted-column value hash the driver uses."""
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+# fast, non-streaming, non-pipeline queries spanning every op family
+SUBSET = [
+    "extract_simple",
+    "extract_zapf_dingbats",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "cosine_topk",
+    "ivf_cell_counts",
+    "lang_id_ngram",
+    "token_counts",
+    "html_boiler",
+    "html_block_stats",
+    "media_metadata",
+    "top_events_per_user",
+]
+
+
+def _canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for row in df.itertuples(index=False):
+        parts = []
+        for v in row:
+            parts.append(f"{v:.6f}" if isinstance(v, float) else str(v))
+        rows.append("\x1f".join(parts))
+    rows.sort()
+    return (
+        len(df),
+        list(df.columns),
+        hashlib.md5("\x1e".join(rows).encode()).hexdigest(),
+    )
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, duck, entry, name):
+    spark_df = entry.queries()[name](spark, SF).toPandas()
+    duck_df = duck.execute(entry.oracle_sql()[name]).df()
+    sn, scols, shash = _canon(spark_df)
+    dn, dcols, dhash = _canon(duck_df)
+    assert sn == dn, f"rows {sn} != {dn}"
+    assert scols == dcols, f"cols {scols} != {dcols}"
+    assert shash == dhash, "value hash mismatch"
