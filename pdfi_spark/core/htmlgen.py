@@ -57,6 +57,18 @@ def _paragraphs(text: str, per_block: int) -> list[str]:
     return paras
 
 
+# single-pass escape: markup-special chars in the source text must not
+# produce broken pages (extraction decodes them back, so expected text
+# keeps the RAW characters)
+_ESCAPE = str.maketrans({"&": "&amp;", "<": "&lt;", ">": "&gt;"})
+# the entities recipe merges a/e/o charref-encoding into the SAME table:
+# translating in two passes would corrupt the '&' of an earlier escape
+_ESCAPE_AND_CHARREF = str.maketrans({
+    "&": "&amp;", "<": "&lt;", ">": "&gt;",
+    "a": "&#97;", "e": "&#101;", "o": "&#111;",
+})
+
+
 def _page(body: str) -> bytes:
     return f"<!DOCTYPE html><html>{_HEAD}<body>{body}</body></html>".encode()
 
@@ -64,7 +76,7 @@ def _page(body: str) -> bytes:
 def recipe_plain(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """Minimal article: paragraphs only, no boilerplate."""
     paras = _paragraphs(text, per_block)
-    body = "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>"
+    body = "<article>" + "".join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras) + "</article>"
     return _page(body), "\n".join(paras)
 
 
@@ -77,7 +89,7 @@ def recipe_boiler(text: str, per_block: int = 6) -> tuple[bytes, str]:
         _nav()
         + "<header><div>example site</div></header>"
         + "<article>"
-        + "".join(f"<p>{p}</p>" for p in paras)
+        + "".join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras)
         + "</article>"
         + _aside()
         + _FOOTER
@@ -93,7 +105,7 @@ def recipe_linkfarm(text: str, per_block: int = 6) -> tuple[bytes, str]:
         '<div class="rel"><a href="/r1">related story</a> '
         '<a href="/r2">more coverage</a></div>'
     )
-    body = related + related.join(f"<p>{p}</p>" for p in paras) + related
+    body = related + related.join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras) + related
     return _page(body), "\n".join(paras)
 
 
@@ -101,9 +113,8 @@ def recipe_entities(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """Character references in the content: a/e/o ride as decimal
     charrefs and must decode back to the exact golden text."""
     paras = _paragraphs(text, per_block)
-    enc = str.maketrans({"a": "&#97;", "e": "&#101;", "o": "&#111;"})
     body = _nav() + "".join(
-        f"<p>{p.translate(enc)}</p>" for p in paras
+        f"<p>{p.translate(_ESCAPE_AND_CHARREF)}</p>" for p in paras
     ) + _FOOTER
     return _page(body), "\n".join(paras)
 
@@ -112,7 +123,7 @@ def recipe_nested(text: str, per_block: int = 6) -> tuple[bytes, str]:
     """Content buried four wrapper divs deep, boilerplate at multiple
     nesting levels (block flushes must not double-count wrappers)."""
     paras = _paragraphs(text, per_block)
-    inner = "".join(f"<p>{p}</p>" for p in paras)
+    inner = "".join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras)
     body = (
         _nav()
         + '<div id="l1"><div id="l2">'
@@ -134,7 +145,7 @@ def recipe_malformed(text: str, per_block: int = 6) -> tuple[bytes, str]:
         "</div>"
         + _nav()
         + "<div class=main>"
-        + "".join(f"<p><b>{p}" for p in paras)
+        + "".join(f"<p><b>{p.translate(_ESCAPE)}" for p in paras)
         + _FOOTER
     )
     return _page(body), "\n".join(paras)

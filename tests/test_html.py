@@ -101,3 +101,13 @@ def test_boilerplate_is_classified_not_tag_keyed():
 
 def test_max_link_density_is_the_published_third():
     assert abs(MAX_LINK_DENSITY - 1 / 3) < 1e-12
+
+
+@pytest.mark.parametrize("recipe", sorted(HTML_RECIPES))
+def test_markup_special_chars_in_source_text(recipe):
+    # raw &, <, > in the source must not break the generated page: the
+    # generator escapes single-pass and extraction decodes back
+    spiky = ("spiky <input> with & ampersands and a<b comparisons plus "
+             "normal trailing words to be long enough")
+    page, expected = build_html(spiky, recipe, per_block=ORACLE_PER_BLOCK)
+    assert extract_main_text(page) == expected == spiky
