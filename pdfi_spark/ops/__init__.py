@@ -20,7 +20,7 @@ from .similarity import (
     ivf_topk,
     lsh_ann_buckets,
 )
-from .webtext import html_block_stats, html_main_content
+from .webtext import html_block_stats, html_main_content, strip_boilerplate
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -41,5 +41,5 @@ __all__ = [
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user",
-    "html_main_content", "html_block_stats",
+    "html_main_content", "html_block_stats", "strip_boilerplate",
 ]

@@ -46,6 +46,49 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def strip_boilerplate(df: DataFrame, page_col: str = "html",
+                      url_col: str = "url") -> DataFrame:
+    """Production surface: strip boilerplate from a REAL page column.
+    Input: any DataFrame with (url_col, page_col binary|string); output:
+    (url, main_text, n_blocks, n_content_blocks, n_boiler_words). Narrow
+    Arrow-batched mapInPandas — select only the two columns upstream so
+    the scan prunes (same contract as pipeline.extract_text)."""
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for url, page in zip(batch[url_col], batch[page_col]):
+                page = bytes(page) if not isinstance(page, str) else page
+                blocks = None
+                try:
+                    from ..core.html import parse_blocks
+
+                    blocks = parse_blocks(page)
+                except Exception:  # noqa: BLE001 — containment: never fail the task
+                    blocks = []
+                content = [b for b in blocks if b["is_content"]]
+                rows.append({
+                    "url": url,
+                    "main_text": "\n".join(b["text"] for b in content),
+                    "n_blocks": len(blocks),
+                    "n_content_blocks": len(content),
+                    "n_boiler_words": sum(
+                        b["n_words"] for b in blocks if not b["is_content"]
+                    ),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "main_text", "n_blocks", "n_content_blocks",
+                         "n_boiler_words"],
+            )
+
+    return df.select(url_col, page_col).mapInPandas(
+        run,
+        schema="url string, main_text string, n_blocks int, "
+               "n_content_blocks int, n_boiler_words int",
+    )
+
+
 def html_main_content(recipe: str):
     """Query factory: build recipe pages per doc and strip boilerplate;
     returns (doc_id, main_text) where main_text must equal the golden

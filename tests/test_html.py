@@ -111,3 +111,32 @@ def test_markup_special_chars_in_source_text(recipe):
              "normal trailing words to be long enough")
     page, expected = build_html(spiky, recipe, per_block=ORACLE_PER_BLOCK)
     assert extract_main_text(page) == expected == spiky
+
+
+def test_strip_boilerplate_on_real_page_column(spark):
+    # production surface: a DataFrame with actual page bytes
+    from pdfi_spark.ops.webtext import strip_boilerplate
+
+    text = LONG
+    page, expected = build_html(text, "boiler", per_block=ORACLE_PER_BLOCK)
+    df = spark.createDataFrame(
+        [("u1", page), ("u2", b"\xff\xfegarbage<<not html")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in strip_boilerplate(df).collect()}
+    assert rows["u1"]["main_text"] == expected
+    assert rows["u1"]["n_content_blocks"] == 1
+    assert rows["u2"]["main_text"] == ""  # contained, not failed
+
+
+def test_extractor_never_raises_on_arbitrary_bytes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=400))
+    def check(data):
+        out = extract_main_text(data)  # must never raise
+        assert isinstance(out, str)
+
+    check()
