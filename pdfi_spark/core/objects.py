@@ -263,16 +263,32 @@ def parse_array(buf: Buf) -> list:
     out = []
     data = buf.data
     end = len(data)
+    append = out.append
+    match_digit = _DIGIT_TOKEN_RE.match
     while True:
         pos = buf.pos
         if pos < end and data[pos] in _WS_BYTES:
             buf.pos = pos = _WS_RE.match(data, pos).end()
         if pos >= end:
             raise ParseError("ARRAY", data, pos)
-        if data[pos] == 0x5D:  # ']'
+        b = data[pos]
+        if b == 0x5D:  # ']'
             buf.pos = pos + 1
             return out
-        out.append(parse_object(buf))
+        if 0x30 <= b <= 0x39:
+            # inline fast path for the dominant array payload — plain
+            # numbers (Widths, kern arrays, matrices, Differences codes).
+            # Byte-identical semantics to parse_object's digit branch:
+            # the same regex decides number vs "n g R" reference, and
+            # references (kw match) fall through to parse_object, which
+            # re-dispatches identically.
+            m = match_digit(data, pos)
+            if m is not None and m.group(3) is None:
+                buf.pos = m.end()
+                g = m.group(4)
+                append(float(g) if g is not None else int(m.group(5)))
+                continue
+        append(parse_object(buf))
 
 
 def parse_dictionary(buf: Buf):
