@@ -34,6 +34,13 @@ _INT_RE = re.compile(rb"-?\d+")
 _STREAM_START_RE = re.compile(rb">>\s*stream(\r\n|\n)")
 # one-shot digit-led token: "N G R" | "N G obj" | float | int
 _DIGIT_TOKEN_RE = re.compile(rb"(?:([0-9]+)\s+([0-9]+)\s+(R|obj))|([0-9]*\.[0-9]+)|([0-9]+)")
+# whole-body match for arrays containing ONLY numbers (Widths, MediaBox,
+# FontMatrix, CID W lists...): same number grammar as parse_object
+# (-?\d+ | -?\d*.\d+, whitespace- or ]-terminated); possessive
+# quantifiers so a non-number element fails fast with zero backtracking
+_NUM_ARRAY_RE = re.compile(
+    rb"\s*+((?:-?+(?:[0-9]*+\.[0-9]++|[0-9]++)(?:\s++|(?=\])))++)\]"
+)
 _ENDSTREAM_RE = re.compile(rb"\s*endstream")
 _ENDOBJ_RE = re.compile(rb"\s*endobj")
 _NAME_ESCAPE_RE = re.compile(rb"#([A-Fa-f0-9]{2})")
@@ -260,8 +267,15 @@ def parse_object(buf: Buf):
 
 
 def parse_array(buf: Buf) -> list:
-    out = []
     data = buf.data
+    # all-numbers fast path: one regex + split instead of a dispatch per
+    # element. Anything else (strings, names, refs "n g R", nested
+    # arrays/dicts) fails the match immediately and takes the loop.
+    m = _NUM_ARRAY_RE.match(data, buf.pos)
+    if m is not None:
+        buf.pos = m.end()
+        return [float(t) if b"." in t else int(t) for t in m.group(1).split()]
+    out = []
     end = len(data)
     append = out.append
     match_digit = _DIGIT_TOKEN_RE.match
