@@ -57,3 +57,47 @@ def test_spliced_pdfs_contained(a, b, split):
     spliced = pa[: split % len(pa)] + pb[split % len(pb):]
     record = extract_record("u", spliced)
     assert set(record) == {"url", "text", "n_pages", "n_chars", "error"}
+
+
+# positive property: for ANY well-formed text, generation -> extraction
+# is the identity on representative recipes (the containment tests above
+# cover the negative side)
+_ROUNDTRIP_RECIPES = ["simple", "flate", "tj_kerning", "differences",
+                      "core14_nowidths", "zapf_dingbats"]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
+        min_size=1, max_size=40,
+    ),
+    st.integers(min_value=0, max_value=len(_ROUNDTRIP_RECIPES) - 1),
+)
+@settings(max_examples=120, deadline=None)
+def test_random_texts_roundtrip_exactly(words, which):
+    from pdfi_spark.core.api import read_pdf
+    from pdfi_spark.core.pdfgen import ORACLE_PER_BLOCK
+
+    text = " ".join(words)
+    pdf, expected = build_pdf(
+        text, _ROUNDTRIP_RECIPES[which], per_block=ORACLE_PER_BLOCK
+    )
+    assert read_pdf(pdf, type="string") == expected
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
+        min_size=6, max_size=40,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=120, deadline=None)
+def test_random_texts_html_roundtrip(words, which):
+    from pdfi_spark.core.html import extract_main_text
+    from pdfi_spark.core.htmlgen import HTML_RECIPES, ORACLE_PER_BLOCK, build_html
+
+    text = " ".join(words)
+    recipe = sorted(HTML_RECIPES)[which]
+    page, expected = build_html(text, recipe, per_block=ORACLE_PER_BLOCK)
+    assert extract_main_text(page) == expected
