@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_signatures"] = ops.minhash_signatures
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["simhash"] = ops.simhash
+    out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
+    out["pii_scrub"] = ops.pii_scrub
     out["dedup_clusters"] = ops.dedup_clusters
     # -- group 3: stable since earlier rounds --
     out["nation_revenue_topk"] = ops.nation_revenue_topk
@@ -463,7 +465,8 @@ def _minhash_sig_cte() -> str:
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in sig(doc_id, s) = the 32-bit SimHash."""
     bit_cols = ", ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -474,9 +477,13 @@ def _simhash_sql() -> str:
     return (
         "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents), "
         "hashed AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM words), "
-        f"bits AS (SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id) "
-        f"SELECT doc_id, ({recombine})::BIGINT AS simhash FROM bits"
+        f"bits AS (SELECT doc_id, {bit_cols} FROM hashed GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, ({recombine})::BIGINT AS s FROM bits)"
     )
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte() + " SELECT doc_id, s AS simhash FROM sig"
 
 
 _COSINE_RAW = (
@@ -687,6 +694,38 @@ def oracle_sql() -> dict[str, str]:
         "SELECT band, bucket, count(*) AS n_docs FROM bands GROUP BY band, bucket"
     )
     out["simhash"] = _simhash_sql()
+    from pdfi_spark.ops.dedup import (
+        SIMHASH_BAND_BITS, SIMHASH_BANDS, SIMHASH_HAM_THRESHOLD,
+    )
+
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    out["simhash_neardup_pairs"] = (
+        _simhash_cte()
+        + ", members AS (SELECT b.band, "
+        f"(s >> ({SIMHASH_BAND_BITS} * b.band)) & {band_mask} AS key, doc_id, s "
+        f"FROM sig, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band) b), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "a.s AS sa, b.s AS sb FROM members a JOIN members b "
+        "ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, bit_count(xor(sa, sb))::INTEGER AS hamming "
+        f"FROM pairs WHERE bit_count(xor(sa, sb)) <= {SIMHASH_HAM_THRESHOLD}"
+    )
+    from pdfi_spark.ops.textstats import EMAIL_RE, PHONE_RE
+
+    _contact = (
+        "text || ' contact user' || doc_id::VARCHAR || '@example.com or 555-' || "
+        "lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    out["pii_scrub"] = (
+        f"WITH c AS (SELECT doc_id, {_contact} AS contact FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(contact, '{EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g') AS scrubbed, "
+        f"len(regexp_extract_all(contact, '{EMAIL_RE}'))::INTEGER AS n_emails, "
+        f"len(regexp_extract_all(contact, '{PHONE_RE}'))::INTEGER AS n_phones "
+        "FROM c"
+    )
     out["ngram_jaccard"] = (
         "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
         "range(0, len(string_split(text, ' ')) - 2), "

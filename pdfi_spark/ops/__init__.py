@@ -6,7 +6,8 @@ the explicitly Arrow-batched multimodal decode stubs. Each operator has
 an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
 from .dedup import (dedup_clusters, dedup_exact, minhash_lsh_buckets,
-                    minhash_signatures, ngram_jaccard_pairs, simhash)
+                    minhash_signatures, ngram_jaccard_pairs, simhash,
+                    simhash_neardup_pairs)
 from .multimodal import media_feature_summary, media_features, media_metadata, media_resize
 from .relational import nation_revenue_topk, top_events_per_user
 from .similarity import (
@@ -28,6 +29,7 @@ from .textstats import (
     quality_filter,
     repetition_scores,
     stratified_sample,
+    pii_scrub,
     lang_id_ngram,
     lang_stopword_counts,
     quality_scores,
@@ -36,7 +38,7 @@ from .textstats import (
 
 __all__ = [
     "dedup_exact", "dedup_clusters", "minhash_signatures", "minhash_lsh_buckets", "simhash",
-    "ngram_jaccard_pairs", "cosine_topk", "cosine_adjacent_pairs",
+    "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",

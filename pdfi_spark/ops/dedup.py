@@ -140,6 +140,53 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+SIMHASH_HAM_THRESHOLD = 3
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing at the 100 TB shape: the 32-bit signature
+    is banded into four 8-bit keys — by pigeonhole, any pair within
+    hamming distance 3 agrees exactly on at least one band — candidates
+    bucket-join on (band, key) (sum(bucket^2), never N^2), and the exact
+    hamming check is bit_count(xor), all whole-stage codegen. The
+    four-way union of literal shifts keeps shiftright on a literal (a
+    per-row band column would force a non-codegen path)."""
+    sig = simhash(spark, sf_dir)
+    parts = [
+        sig.select(
+            F.lit(i).alias("band"),
+            F.shiftright("simhash", SIMHASH_BAND_BITS * i)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .alias("key"),
+            "doc_id",
+            F.col("simhash").alias("s"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ]
+    members = parts[0]
+    for p in parts[1:]:
+        members = members.unionAll(p)
+    a = members.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")
+    )
+    b = members.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_HAM_THRESHOLD)
+    )
+
+
 def _shingles(col="text", n=3):
     """Distinct word n-gram shingles as an array<string> expression."""
     words = F.split(col, " ")

@@ -221,3 +221,37 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("kept").alias("n_sampled"))
     )
+
+
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone numbers) — the standard pre-training
+    scrub pass, entirely JVM-side regexp_replace/regexp_count (patterns
+    chosen to mean the same thing in Java regex and RE2 so the DuckDB
+    twin is literal). The testdata corpus carries no PII, so each doc
+    first gets a deterministic synthetic contact line derived from its
+    doc_id; the oracle applies the identical construction, then both
+    engines must agree on counts and on the scrubbed text byte-for-byte.
+    At 100 TB this is a pure narrow map — zero exchange."""
+    docs = _docs(spark, sf_dir)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(contact, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(contact, F.lit(PHONE_RE)).alias("n_phones"),
+    )

@@ -94,6 +94,19 @@ def test_textstats_are_narrow_maps(spark, fn):
     assert plan.count("Exchange") == 0
 
 
+def test_pii_scrub_is_a_narrow_map(spark):
+    plan = _plan(ops.pii_scrub(spark, SF))
+    assert plan.count("Exchange") == 0
+
+
+def test_simhash_neardup_pairs_is_keyed_not_cartesian(spark):
+    # the candidate join must be keyed on (band, key) — any refactor that
+    # degenerates to an all-pairs product shows up as a nested-loop join
+    plan = _plan(ops.simhash_neardup_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_html_extraction_is_narrow_and_prunes_scan(spark):
     # the fused generate+strip mapInPandas: zero exchanges, and only
     # doc_id+text reach Python (lang/n_chars/source pruned at the scan)
