@@ -133,10 +133,17 @@ def main() -> int:
         "lang_stopwords", "quality_scores", "token_counts", "doc_fingerprint",
         "media_metadata", "media_features",
     }
-    for name, fn in op_queries.items():
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    # best-of-2 with interleaved full passes: co-tenant noise on this
+    # host only ever slows a trial, so min() per query approximates the
+    # unloaded figure, and interleaving keeps a noisy minute from biasing
+    # one query instead of one pass
+    for _pass in range(2):
+        for name, fn in op_queries.items():
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            elapsed = round(time.time() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
 
     total = round(sum(timings.values()), 3)
     # apples-to-apples vs BENCH_r01 (new round-2 queries grow the total)
