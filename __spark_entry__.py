@@ -315,6 +315,50 @@ def _pipeline_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming twin of html_boiler: readStream over
+    generator-built pages -> strip_boilerplate mapInPandas -> memory
+    sink, one available-now pass (same oracle as the batch path) —
+    the webtext axis through the streaming surface."""
+    import tempfile
+    import uuid
+
+    from pdfi_spark.core.htmlgen import build_html
+    from pdfi_spark.ops.webtext import strip_boilerplate
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(iterator):
+        for batch in iterator:
+            rows = [
+                {
+                    "url": str(int(doc_id)),
+                    "html": build_html(text, "boiler", per_block=ORACLE_PER_BLOCK)[0],
+                }
+                for doc_id, text in zip(batch["doc_id"], batch["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = base.mapInPandas(gen, schema="url string, html binary")
+    input_dir = tempfile.mkdtemp(prefix="pdfi_html_stream_")
+    pages.write.mode("overwrite").parquet(input_dir)
+
+    stream = spark.readStream.schema("url string, html binary").parquet(input_dir)
+    stripped = strip_boilerplate(stream)
+    name = f"html_streaming_{uuid.uuid4().hex[:8]}"
+    query = (
+        stripped.writeStream.queryName(name).format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_html_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("url").cast("long").alias("doc_id"), "main_text"
+    )
+
+
 def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of extract_flate: readStream over the
     same synthetic corpus -> mapInPandas extraction -> memory sink, one
@@ -407,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for recipe in HTML_ORACLE_RECIPES:
         out[f"html_{recipe}"] = ops.html_main_content(recipe)
     out["html_block_stats"] = ops.html_block_stats
+    out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
     out["pipeline_resume_counts"] = _pipeline_resume_query
@@ -932,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
     # every page shape (plain/boiler/linkfarm/entities/nested/malformed)
     for recipe in HTML_ORACLE_RECIPES:
         out[f"html_{recipe}"] = "SELECT doc_id, text AS main_text FROM documents"
+    out["html_streaming"] = "SELECT doc_id, text AS main_text FROM documents"
     out["html_block_stats"] = (
         f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "
         "1::INTEGER AS n_content_blocks, "
