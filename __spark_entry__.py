@@ -323,6 +323,7 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from pdfi_spark.core.htmlgen import ORACLE_PER_BLOCK as HTML_ORACLE_PER_BLOCK
     from pdfi_spark.core.htmlgen import build_html
     from pdfi_spark.ops.webtext import strip_boilerplate
 
@@ -333,7 +334,9 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [
                 {
                     "url": str(int(doc_id)),
-                    "html": build_html(text, "boiler", per_block=ORACLE_PER_BLOCK)[0],
+                    "html": build_html(
+                        text, "boiler", per_block=HTML_ORACLE_PER_BLOCK
+                    )[0],
                 }
                 for doc_id, text in zip(batch["doc_id"], batch["text"])
             ]

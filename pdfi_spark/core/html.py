@@ -35,15 +35,20 @@ from html.parser import HTMLParser
 MIN_CONTENT_WORDS = 4
 MAX_LINK_DENSITY = 1 / 3
 
-# tags whose entire subtree is dropped (never contains readable text)
+# tags whose entire subtree is dropped (never contains readable text).
+# `head` is deliberately NOT here: html.parser does no implicit closing,
+# so a page with an omitted </head> (spec-legal, common in the wild)
+# would leave the drop-depth stuck and silently swallow the whole page.
+# head's only text-bearing child is <title>, which is dropped directly;
+# meta/link/base contribute no text.
 _DROP_SUBTREE = frozenset(
-    "script style noscript template head svg iframe object embed".split()
+    "script style noscript template title svg iframe object embed".split()
 )
 # tags that delimit text blocks; everything else is inline
 _BLOCK_TAGS = frozenset(
     "p div section article main li ul ol td th tr table h1 h2 h3 h4 h5 h6 "
     "pre blockquote figcaption figure nav header footer aside form dl dt dd "
-    "hr br body html title".split()
+    "hr br body html head".split()
 )
 
 _WS_RE = re.compile(r"\s+")

@@ -152,8 +152,15 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join on (band, key) (sum(bucket^2), never N^2), and the exact
     hamming check is bit_count(xor), all whole-stage codegen. The
     four-way union of literal shifts keeps shiftright on a literal (a
-    per-row band column would force a non-codegen path)."""
-    sig = simhash(spark, sf_dir)
+    per-row band column would force a non-codegen path).
+
+    The signature table is localCheckpoint'ed first: it is referenced by
+    4 union branches on each of 2 join sides, and Catalyst does not share
+    subtrees across union branches — without materialization the
+    per-word SimHash fold (the operator's dominant CPU term) would
+    execute 8x. At production scale signatures are materialized to a
+    table for exactly the same reason (they are 16 bytes/doc)."""
+    sig = simhash(spark, sf_dir).localCheckpoint(eager=True)
     parts = [
         sig.select(
             F.lit(i).alias("band"),
@@ -341,6 +348,8 @@ def connected_components(edges: DataFrame, nodes: DataFrame,
             "truncated mid-merge",
             stacklevel=2,
         )
+    if directed is None:  # max_iters <= 0: no rounds ran, all singletons
+        return nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
     parents = directed.groupBy("u").agg(F.min("v").alias("parent"))
     return (
         nodes.join(parents, nodes["doc_id"] == parents["u"], "left")

@@ -24,7 +24,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..core.html import block_stats, extract_main_text
+from ..core.html import block_stats, extract_main_text, parse_blocks
 from ..core.htmlgen import ORACLE_PER_BLOCK, build_html
 
 HTML_ORACLE_RECIPES = [
@@ -58,11 +58,10 @@ def strip_boilerplate(df: DataFrame, page_col: str = "html",
         for batch in iterator:
             rows = []
             for url, page in zip(batch[url_col], batch[page_col]):
-                page = bytes(page) if not isinstance(page, str) else page
-                blocks = None
                 try:
-                    from ..core.html import parse_blocks
-
+                    # containment starts at the cast: a NULL page cell
+                    # must yield an empty row, never a task failure
+                    page = bytes(page) if not isinstance(page, str) else page
                     blocks = parse_blocks(page)
                 except Exception:  # noqa: BLE001 — containment: never fail the task
                     blocks = []

@@ -51,3 +51,15 @@ def test_empty_edge_set_is_all_singletons(spark):
         labels = connected_components(edges, nodes)
         got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == {i: i for i in range(5)}
+
+
+def test_zero_round_cap_returns_singletons_with_warning(spark):
+    nodes, edges = _path_graph(spark, 4)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(edges, nodes, max_iters=0).collect()
+        }
+    assert got == {i: i for i in range(4)}
+    assert any("cap" in str(w.message) for w in caught)

@@ -140,3 +140,22 @@ def test_extractor_never_raises_on_arbitrary_bytes():
         assert isinstance(out, str)
 
     check()
+
+
+def test_omitted_close_head_does_not_swallow_page():
+    # spec-legal HTML5: </head> omitted; head must not drop the body
+    page = (b"<html><head><title>t</title><meta charset=utf-8>"
+            b"<body><p>real content words live here today</p></body></html>")
+    assert extract_main_text(page) == "real content words live here today"
+
+
+def test_null_page_rows_are_contained(spark):
+    from pdfi_spark.ops.webtext import strip_boilerplate
+
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"<p>long enough real words here</p>")],
+        "url string, html binary",
+    )
+    rows = {r["url"]: r for r in strip_boilerplate(df).collect()}
+    assert rows["u1"]["main_text"] == "" and rows["u1"]["n_blocks"] == 0
+    assert rows["u2"]["main_text"] == "long enough real words here"
