@@ -96,10 +96,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding of the MinHash signature: band1=(h1,h2), band2=(h3,h4);
     bucket sizes per band — near-duplicate candidates share a bucket."""
-    sig = minhash_signatures(spark, sf_dir)
-    b1 = sig.select(F.lit(1).alias("band"), F.concat_ws(":", "h1", "h2").alias("bucket"))
-    b2 = sig.select(F.lit(2).alias("band"), F.concat_ws(":", "h3", "h4").alias("bucket"))
-    return b1.unionAll(b2).groupBy("band", "bucket").agg(F.count("*").alias("n_docs"))
+    return (
+        _lsh_members(spark, sf_dir)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -217,8 +218,15 @@ MAX_LSH_BUCKET = 64
 
 def _lsh_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(band, bucket, doc_id) membership rows — the joinable form of
-    minhash_lsh_buckets."""
-    sig = minhash_signatures(spark, sf_dir)
+    minhash_lsh_buckets.
+
+    Signatures are localCheckpoint'ed first: the two band branches (and,
+    in candidate_pairs, the two self-join sides on top of them) are
+    separate subtrees to Catalyst, so without materialization the
+    per-word MinHash fold — the operator's dominant CPU term — would
+    re-execute up to 4x. Signatures are 5 longs/doc; at production scale
+    they'd be written to a table for the same reason."""
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     b1 = sig.select(
         F.lit(1).alias("band"), F.concat_ws(":", "h1", "h2").alias("bucket"), "doc_id"
     )
