@@ -144,9 +144,11 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> Dat
     are random (max within-bucket cosine ~0.45), so a fixed threshold
     would select nothing to verify — top-k keeps the oracle non-trivial."""
     emb = _emb(spark, sf_dir)
+    # materialized: the two self-join sides are separate subtrees to
+    # Catalyst, so the 8-plane sign-bit fold would otherwise run twice
     coded = emb.select(
         "vec_id", "embedding", _lsh_code(F.col("embedding")).alias("bucket")
-    )
+    ).localCheckpoint(eager=True)
     a = coded.select(
         F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )
