@@ -463,6 +463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash"] = ops.simhash
     out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
     out["pii_scrub"] = ops.pii_scrub
+    out["asof_join_events"] = ops.asof_join_events
+    out["range_join_counts"] = ops.range_join_counts
+    out["json_props_stats"] = ops.json_props_stats
     out["dedup_clusters"] = ops.dedup_clusters
     # -- group 3: stable since earlier rounds --
     out["nation_revenue_topk"] = ops.nation_revenue_topk
@@ -687,6 +690,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n_name, revenue_cp, n_orders, n_customers "
         "FROM per_nation JOIN nation ON c_nationkey = n_nationkey "
         f"ORDER BY revenue_cp DESC, n_name ASC LIMIT {TOP_K}"
+    )
+    from pdfi_spark.ops.relational import (
+        ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE, RANGE_WINDOW_SEC,
+    )
+
+    _asof_frame = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                   "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    out["asof_join_events"] = (
+        "WITH b AS (SELECT event_id, ts, user_id, event_type, "
+        f"CASE WHEN event_type = '{ASOF_RIGHT_TYPE}' THEN event_id END AS vid, "
+        f"CASE WHEN event_type = '{ASOF_RIGHT_TYPE}' THEN value END AS vval "
+        f"FROM events WHERE event_type IN ('{ASOF_LEFT_TYPE}', '{ASOF_RIGHT_TYPE}')), "
+        "m AS (SELECT event_id, user_id, event_type, "
+        f"last_value(vid IGNORE NULLS) {_asof_frame} AS asof_view_id, "
+        f"round(last_value(vval IGNORE NULLS) {_asof_frame}, 6) AS asof_view_value "
+        "FROM b) "
+        "SELECT event_id AS click_id, user_id, asof_view_id, asof_view_value "
+        f"FROM m WHERE event_type = '{ASOF_LEFT_TYPE}'"
+    )
+    out["range_join_counts"] = (
+        "WITH o AS (SELECT event_id, user_id, event_type, "
+        "floor(epoch(ts))::BIGINT AS es FROM events), "
+        "c AS (SELECT event_id, user_id, event_type, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY user_id ORDER BY es "
+        f"RANGE BETWEEN {RANGE_WINDOW_SEC} PRECEDING AND {RANGE_WINDOW_SEC} FOLLOWING)"
+        "::BIGINT AS clicks_near FROM o) "
+        "SELECT event_id AS error_id, user_id, clicks_near FROM c "
+        "WHERE event_type = 'error'"
+    )
+    out["json_props_stats"] = (
+        "WITH k AS (SELECT event_type, "
+        "json_extract_string(props, '$.k')::INTEGER AS k FROM events) "
+        "SELECT event_type, count(*) AS n_events, sum(k)::BIGINT AS sum_k, "
+        "min(k)::INTEGER AS min_k, max(k)::INTEGER AS max_k FROM k "
+        "GROUP BY event_type"
     )
     out["top_events_per_user"] = (
         "SELECT user_id, row_number() OVER "

@@ -9,7 +9,8 @@ from .dedup import (dedup_clusters, dedup_exact, minhash_lsh_buckets,
                     minhash_signatures, ngram_jaccard_pairs, simhash,
                     simhash_neardup_pairs)
 from .multimodal import media_feature_summary, media_features, media_metadata, media_resize
-from .relational import nation_revenue_topk, top_events_per_user
+from .relational import (asof_join_events, json_props_stats, nation_revenue_topk,
+                         range_join_counts, top_events_per_user)
 from .similarity import (
     cosine_adjacent_pairs,
     cosine_topk,
@@ -42,6 +43,6 @@ __all__ = [
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
-    "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user",
+    "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
 ]

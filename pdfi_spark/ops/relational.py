@@ -92,3 +92,103 @@ def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
         .select("user_id", "rank", "event_id",
                 F.round("value", 6).alias("value"))
     )
+
+
+ASOF_LEFT_TYPE = "click"
+ASOF_RIGHT_TYPE = "view"
+RANGE_WINDOW_SEC = 120
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, the temporal operator Spark has no built-in for: for
+    each 'click' event, the most recent 'view' by the same user at or
+    before it (strictly earlier in (ts, event_id) lexicographic order).
+
+    Implemented with the scalable union trick instead of a per-row range
+    probe: union both sides, one window partitioned by user ordered by
+    (ts, event_id), and last(view_id, ignorenulls) over the running frame
+    carries the as-of match to every click row. ONE shuffle on user_id,
+    no join at all — at 10^12 events this is the canonical distributed
+    as-of shape (a SortMergeJoin formulation would shuffle both sides
+    AND need an inequality post-filter)."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    both = events.where(
+        F.col("event_type").isin(ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE)
+    ).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.when(F.col("event_type") == ASOF_RIGHT_TYPE, F.col("event_id"))
+        .alias("vid"),
+        F.when(F.col("event_type") == ASOF_RIGHT_TYPE, F.col("value"))
+        .alias("vval"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = both.select(
+        "event_id", "user_id", "event_type",
+        F.last("vid", ignorenulls=True).over(w).alias("asof_view_id"),
+        F.round(F.last("vval", ignorenulls=True).over(w), 6).alias("asof_view_value"),
+    )
+    return matched.where(F.col("event_type") == ASOF_LEFT_TYPE).select(
+        F.col("event_id").alias("click_id"), "user_id",
+        "asof_view_id", "asof_view_value",
+    )
+
+
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (interval co-occurrence): for each 'error' event, how
+    many 'click' events the same user produced within +-120 seconds.
+
+    Expressed as a RANGE window frame over epoch seconds instead of an
+    inequality join: one shuffle on user_id, no join, no post-filter —
+    the standard rewrite that keeps a 10^12-row interval join off the
+    O(n^2) SortMergeJoin-with-residual path."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ: derive epoch seconds NTZ-to-NTZ (same recipe
+    # as streaming.sessionize_events) — unix_timestamp() would route
+    # through the session timezone
+    o = events.select(
+        "event_id", "user_id", "event_type",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("es"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-RANGE_WINDOW_SEC, RANGE_WINDOW_SEC)
+    )
+    counted = o.select(
+        "event_id", "user_id", "event_type",
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).over(w).alias("clicks_near"),
+    )
+    return counted.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "clicks_near"
+    )
+
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.$.k out of the JSON column
+    JVM-side (get_json_object — no Python, no UDF) and aggregate per
+    event_type. The narrow extract + one hash aggregate is the whole
+    plan."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

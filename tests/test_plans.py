@@ -107,6 +107,16 @@ def test_simhash_neardup_pairs_is_keyed_not_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize("fn", [ops.asof_join_events, ops.range_join_counts])
+def test_temporal_ops_are_single_shuffle_no_join(spark, fn):
+    # as-of and range joins are rewritten to ONE window shuffle on
+    # user_id — no join operator may appear (a SortMergeJoin + residual
+    # filter is the O(n^2)-ish shape these rewrites exist to avoid)
+    plan = _plan(fn(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1
+
+
 def test_html_extraction_is_narrow_and_prunes_scan(spark):
     # the fused generate+strip mapInPandas: zero exchanges, and only
     # doc_id+text reach Python (lang/n_chars/source pruned at the scan)
