@@ -29,6 +29,9 @@ SUBSET = [
     "html_block_stats",
     "media_metadata",
     "top_events_per_user",
+    "asof_join_events",
+    "range_join_counts",
+    "json_props_stats",
 ]
 
 
