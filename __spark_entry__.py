@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for recipe in HTML_ORACLE_RECIPES:
         out[f"html_{recipe}"] = ops.html_main_content(recipe)
     out["html_block_stats"] = ops.html_block_stats
+    out["html_outlinks"] = ops.html_outlinks
+    out["link_graph_degrees"] = ops.link_graph_degrees
     out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
@@ -1026,6 +1028,23 @@ def oracle_sql() -> dict[str, str]:
         f"{BOILER_N_BOILER_BLOCKS}::INTEGER AS n_boiler_blocks, "
         "len(string_split(text, ' '))::INTEGER AS n_content_words, "
         f"{BOILER_N_BOILER_WORDS}::INTEGER AS n_boiler_words FROM documents"
+    )
+    # outlink edges are planted closed-form in doc_id (htmlgen
+    # .outlink_targets: out-degree 2 + doc_id%3, target stride 17), so
+    # the oracle reconstructs the edge list the anchor parser must find
+    _edges_cte = (
+        "WITH n AS (SELECT count(*) AS n_docs FROM documents), "
+        "fanout AS (SELECT doc_id, unnest(range(0, doc_id % 3 + 2)) AS i "
+        "FROM documents), "
+        "edges AS (SELECT f.doc_id AS src, "
+        "(f.doc_id * 31 + 17 * f.i + 7) % n.n_docs AS dst, "
+        "f.i::INTEGER AS link_rank FROM fanout f, n) "
+    )
+    out["html_outlinks"] = _edges_cte + "SELECT src, dst, link_rank FROM edges"
+    out["link_graph_degrees"] = (
+        _edges_cte
+        + "SELECT dst, count(*) AS in_degree, min(src) AS min_src "
+          "FROM edges GROUP BY dst"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -132,6 +132,60 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
+class _LinkCollector(HTMLParser):
+    """Collects every anchor's (href, text) in document order, skipping
+    non-content subtrees (script/style/svg/...) like the block parser.
+    Nested anchors (invalid but seen in soup) accumulate data into every
+    open anchor frame, mirroring lenient-browser behavior."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[dict] = []
+        self._drop_depth = 0
+        self._frames: list[tuple[str | None, list[str]]] = []
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _DROP_SUBTREE:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "a":
+            href = next((v for k, v in attrs if k == "href"), None)
+            self._frames.append((href, []))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _DROP_SUBTREE:
+            self._drop_depth = max(0, self._drop_depth - 1)
+            return
+        if self._drop_depth:
+            return
+        if tag == "a" and self._frames:
+            href, parts = self._frames.pop()
+            if href is not None:
+                text = _WS_RE.sub(" ", "".join(parts)).strip()
+                self.links.append({"href": href, "text": text})
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth or not data:
+            return
+        for _, parts in self._frames:
+            parts.append(data)
+
+
+def parse_links(page: bytes | str) -> list[dict]:
+    """Page bytes -> anchors in document order: dicts of href (attribute
+    value, charrefs decoded) and text (whitespace-flattened anchor text).
+    href-less anchors (<a name=...>) are omitted; unclosed anchors at EOF
+    are dropped (no reliable text extent)."""
+    if isinstance(page, (bytes, bytearray, memoryview)):
+        page = bytes(page).decode("utf-8", errors="replace")
+    collector = _LinkCollector()
+    collector.feed(page)
+    collector.close()
+    return collector.links
+
+
 def parse_blocks(page: bytes | str) -> list[dict]:
     """Page bytes -> scored blocks: each dict has text, n_words,
     n_link_words, link_density, is_content."""

@@ -151,6 +151,42 @@ def recipe_malformed(text: str, per_block: int = 6) -> tuple[bytes, str]:
     return _page(body), "\n".join(paras)
 
 
+# -- deterministic outlink planting (the Common-Crawl link-graph axis) --
+# out-degree and targets are closed-form in doc_id so the DuckDB oracle
+# reconstructs the expected edge list with pure SQL arithmetic; strides
+# 31/17 keep the ≤4 targets of one page distinct for any corpus ≥ 52 docs
+OUTLINK_BASE_DEGREE = 2  # out-degree = 2 + doc_id % 3
+
+
+def outlink_targets(doc_id: int, n_docs: int) -> list[int]:
+    k = OUTLINK_BASE_DEGREE + doc_id % 3
+    return [(doc_id * 31 + 17 * i + 7) % n_docs for i in range(k)]
+
+
+def build_linked_page(doc_id: int, n_docs: int, text: str,
+                      per_block: int = 6) -> tuple[bytes, list[int]]:
+    """Boiler-shaped page whose article cites other documents via
+    ``/doc/{target}`` anchors; extraction must find the planted citation
+    links among the page's boilerplate links (nav, ads, footer)."""
+    targets = outlink_targets(doc_id, n_docs)
+    paras = _paragraphs(text, per_block)
+    cites = "".join(
+        f'<p>for background see <a href="/doc/{t}">document {t}</a> '
+        "and the related coverage</p>"
+        for t in targets
+    )
+    body = (
+        _nav()
+        + "<article>"
+        + "".join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras)
+        + cites
+        + "</article>"
+        + _aside()
+        + _FOOTER
+    )
+    return _page(body), targets
+
+
 HTML_RECIPES = {
     "plain": recipe_plain,
     "boiler": recipe_boiler,

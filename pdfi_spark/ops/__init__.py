@@ -22,7 +22,8 @@ from .similarity import (
     ivf_topk,
     lsh_ann_buckets,
 )
-from .webtext import html_block_stats, html_main_content, strip_boilerplate
+from .webtext import (html_block_stats, html_main_content, html_outlinks,
+                      link_graph_degrees, strip_boilerplate)
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -45,4 +46,5 @@ __all__ = [
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
+    "html_outlinks", "link_graph_degrees",
 ]

@@ -24,8 +24,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..core.html import block_stats, extract_main_text, parse_blocks
-from ..core.htmlgen import ORACLE_PER_BLOCK, build_html
+from pyspark.sql import functions as F
+
+from ..core.html import block_stats, extract_main_text, parse_blocks, parse_links
+from ..core.htmlgen import ORACLE_PER_BLOCK, build_html, build_linked_page
 
 HTML_ORACLE_RECIPES = [
     "plain", "boiler", "linkfarm", "entities", "nested", "malformed",
@@ -110,6 +112,57 @@ def html_main_content(recipe: str):
         )
 
     return q
+
+
+def html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph edge extraction — the Common-Crawl outlink operator.
+    Pages (generated with deterministically planted ``/doc/{target}``
+    citations amid boilerplate links) are parsed with core/html.py's
+    anchor collector; citation anchors explode to one edge row
+    (src, dst, link_rank) each, nav/ad/footer links filtered by href
+    shape. At 100 TB: the parse is a narrow Arrow-batched mapInPandas
+    (zero exchanges — the only extra job is a parquet metadata
+    count-star for the generator's modulus, absent in production where
+    hrefs come off real pages); edge fan-out happens inside the UDF, so
+    no explode shuffle either."""
+    base = _base(spark, sf_dir)
+    n_docs = base.count()  # parquet count-star: metadata-only at any scale
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                page, _ = build_linked_page(
+                    int(doc_id), n_docs, text, per_block=ORACLE_PER_BLOCK
+                )
+                rank = 0
+                for link in parse_links(page):
+                    href = link["href"]
+                    if href.startswith("/doc/"):
+                        rows.append({
+                            "src": int(doc_id),
+                            "dst": int(href[5:]),
+                            "link_rank": rank,
+                        })
+                        rank += 1
+            yield pd.DataFrame(rows, columns=["src", "dst", "link_rank"])
+
+    return base.mapInPandas(run, schema="src long, dst long, link_rank int")
+
+
+def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree census over the extracted link graph: one hash-aggregate
+    shuffle on dst (map-side partials first). The classic first pass of
+    any crawl-graph job (hub detection, PageRank seeding); at 10^12
+    edges this is a single well-partitioned exchange keyed on dst."""
+    return (
+        html_outlinks(spark, sf_dir)
+        .groupBy("dst")
+        .agg(
+            F.count("*").alias("in_degree"),
+            F.min("src").alias("min_src"),
+        )
+    )
 
 
 def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,3 +159,47 @@ def test_null_page_rows_are_contained(spark):
     rows = {r["url"]: r for r in strip_boilerplate(df).collect()}
     assert rows["u1"]["main_text"] == "" and rows["u1"]["n_blocks"] == 0
     assert rows["u2"]["main_text"] == "long enough real words here"
+
+
+def test_parse_links_collects_anchors_in_order():
+    from pdfi_spark.core.html import parse_links
+
+    page = (b"<html><head><script>var a='<a href=\"/no\">x</a>';</script>"
+            b"</head><body><nav><a href='/home'>home</a></nav>"
+            b"<p>see <a href='/doc/7'>document  7</a> now</p>"
+            b"<a name='x'>no href</a>"
+            b"<svg><a href='/svg'>vector</a></svg>"
+            b"<a href='/last'>the <b>end</b></a></body></html>")
+    links = parse_links(page)
+    # script/svg subtrees dropped, href-less anchor omitted, order kept,
+    # anchor text whitespace-flattened across inline tags
+    assert links == [
+        {"href": "/home", "text": "home"},
+        {"href": "/doc/7", "text": "document 7"},
+        {"href": "/last", "text": "the end"},
+    ]
+
+
+def test_linked_page_plants_recoverable_citations():
+    from pdfi_spark.core.html import parse_links
+    from pdfi_spark.core.htmlgen import build_linked_page, outlink_targets
+
+    page, targets = build_linked_page(13, 500, LONG, per_block=ORACLE_PER_BLOCK)
+    assert targets == outlink_targets(13, 500)
+    assert len(targets) == 2 + 13 % 3 and len(set(targets)) == len(targets)
+    cites = [l for l in parse_links(page) if l["href"].startswith("/doc/")]
+    assert [int(l["href"][5:]) for l in cites] == targets
+    # boilerplate links present but distinguishable by href shape
+    assert any(not l["href"].startswith("/doc/") for l in parse_links(page))
+    # the article text still roundtrips despite the citation blocks
+    assert extract_main_text(page).startswith(LONG)
+
+
+def test_parse_links_contained_on_soup():
+    from pdfi_spark.core.html import parse_links
+
+    # unclosed anchor at EOF dropped; stray close ignored; bytes soup ok
+    assert parse_links(b"</a><a href='/x'>dangling") == []
+    assert parse_links(b"\xff\xfe<a href='/y'>t</a>") == [
+        {"href": "/y", "text": "t"}
+    ]

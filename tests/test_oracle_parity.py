@@ -27,6 +27,8 @@ SUBSET = [
     "token_counts",
     "html_boiler",
     "html_block_stats",
+    "html_outlinks",
+    "link_graph_degrees",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -127,6 +127,19 @@ def test_html_extraction_is_narrow_and_prunes_scan(spark):
     assert "lang" not in read_schema[0] and "n_chars" not in read_schema[0]
 
 
+def test_outlink_extraction_is_narrow_and_degrees_one_shuffle(spark):
+    # edge fan-out happens inside the mapInPandas UDF: the edge list
+    # itself needs zero exchanges, and the in-degree census exactly one
+    # (hash-aggregate on dst with map-side partials)
+    plan = _plan(ops.html_outlinks(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0]
+    plan = _plan(ops.link_graph_degrees(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The steady-state 100 TB layout claim, executed: two tables
     bucketed by the SAME key/count join with ZERO Exchange (each task
