@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["html_block_stats"] = ops.html_block_stats
     out["html_outlinks"] = ops.html_outlinks
     out["link_graph_degrees"] = ops.link_graph_degrees
+    out["link_graph_pagerank"] = ops.link_graph_pagerank
     out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
@@ -1045,6 +1046,37 @@ def oracle_sql() -> dict[str, str]:
         _edges_cte
         + "SELECT dst, count(*) AS in_degree, min(src) AS min_src "
           "FROM edges GROUP BY dst"
+    )
+    # pagerank: unroll the power iteration (ranks snapped to 12 decimals
+    # per iterate in BOTH engines, so the fixpoint path is cross-engine
+    # exact — same determinism trick as the Lloyd/kmeans oracle)
+    from pdfi_spark.ops.webtext import (
+        PAGERANK_DAMPING as _PR_D,
+        PAGERANK_ITERS as _PR_K,
+        PAGERANK_TOPK as _PR_TOPK,
+    )
+
+    _pr = _edges_cte + (
+        ", deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "ew AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w "
+        "FROM edges e JOIN deg d USING (src)), "
+        "r0 AS (SELECT doc_id, "
+        "round(CAST(1.0 AS DOUBLE) / n.n_docs, 12) AS rank "
+        "FROM documents, n) "
+    )
+    for _i in range(1, _PR_K + 1):
+        _pr += (
+            f", r{_i} AS (SELECT d.doc_id, "
+            f"round(CAST({1.0 - _PR_D!r} AS DOUBLE) / n.n_docs + "
+            f"CAST({_PR_D!r} AS DOUBLE) * coalesce(s.s, 0), 12) AS rank "
+            f"FROM documents d CROSS JOIN n LEFT JOIN "
+            f"(SELECT ew.dst AS doc_id, sum(ew.w * r{_i - 1}.rank) AS s "
+            f"FROM ew JOIN r{_i - 1} ON r{_i - 1}.doc_id = ew.src "
+            f"GROUP BY ew.dst) s ON s.doc_id = d.doc_id)"
+        )
+    out["link_graph_pagerank"] = _pr + (
+        f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
+        f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

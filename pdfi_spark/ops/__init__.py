@@ -23,7 +23,8 @@ from .similarity import (
     lsh_ann_buckets,
 )
 from .webtext import (html_block_stats, html_main_content, html_outlinks,
-                      link_graph_degrees, strip_boilerplate)
+                      link_graph_degrees, link_graph_pagerank,
+                      strip_boilerplate)
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -46,5 +47,5 @@ __all__ = [
     "doc_fingerprint", "decontaminate", "corpus_stats", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
-    "html_outlinks", "link_graph_degrees",
+    "html_outlinks", "link_graph_degrees", "link_graph_pagerank",
 ]

@@ -165,6 +165,75 @@ def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 3
+PAGERANK_TOPK = 20
+
+
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the extracted outlink graph —
+    iterative distributed graph processing on the crawl's link structure
+    (hub scoring; the power-iteration sibling of ops/dedup.py's
+    connected components). Returns the top-k (doc_id, pagerank).
+
+    Determinism across engines: ranks are snapped to 12 decimals every
+    iteration (same trick as similarity.kmeans_codebook's float32 cast),
+    so double-precision accumulation-order differences (~1e-17) can
+    never reach the rounding grid and the unrolled DuckDB twin
+    reproduces every iterate exactly.
+
+    At 100 TB: edges are localCheckpoint'ed once (they feed every
+    iteration), each iteration is one shuffle-join on src plus one
+    hash-aggregate on dst; production would co-partition edges and
+    ranks on src so only the rank side moves. Final top-k is
+    TakeOrderedAndProject, never a full sort. Every page links out by
+    construction (crawl pages with zero outlinks would need the
+    standard dangling-mass redistribution term, omitted here as the
+    generator never produces them)."""
+    edges = (
+        html_outlinks(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = _base(spark, sf_dir).select("doc_id")
+    n_docs = nodes.count()
+    # per-edge contribution weight 1/out-degree, precomputed once
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    base = F.lit((1.0 - PAGERANK_DAMPING) / n_docs)
+    ranks = nodes.select(
+        "doc_id", F.round(F.lit(1.0 / n_docs), 12).alias("rank")
+    )
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            ew.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(
+                    base
+                    + F.lit(PAGERANK_DAMPING)
+                    * F.coalesce(F.col("s"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("doc_id", F.round("rank", 6).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "doc_id")
+        .limit(PAGERANK_TOPK)
+    )
+
+
 def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic block census on the boiler recipe: per page, total /
     content / boilerplate block and word counts. The boilerplate side is

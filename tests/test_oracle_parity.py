@@ -29,6 +29,7 @@ SUBSET = [
     "html_block_stats",
     "html_outlinks",
     "link_graph_degrees",
+    "link_graph_pagerank",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -140,6 +140,17 @@ def test_outlink_extraction_is_narrow_and_degrees_one_shuffle(spark):
     assert "HashAggregate" in plan
 
 
+def test_pagerank_topk_avoids_full_sort(spark):
+    # the iterative body is materialized per iteration (localCheckpoint,
+    # same subtree-reuse rule as dedup); the FINAL stage must be a
+    # TakeOrderedAndProject over the checkpointed ranks — top-k without
+    # a global sort, and no cartesian anywhere
+    plan = _plan(ops.link_graph_pagerank(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan
+    assert "Sort " not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The steady-state 100 TB layout claim, executed: two tables
     bucketed by the SAME key/count join with ZERO Exchange (each task
