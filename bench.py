@@ -125,6 +125,8 @@ def main() -> int:
         "nation_revenue_topk": ops.nation_revenue_topk,
         "html_main_content": ops.html_main_content("boiler"),
         "html_block_stats": ops.html_block_stats,
+        "link_graph_degrees": ops.link_graph_degrees,
+        "link_graph_pagerank": ops.link_graph_pagerank,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",
