@@ -101,3 +101,33 @@ def test_random_texts_html_roundtrip(words, which):
     recipe = sorted(HTML_RECIPES)[which]
     page, expected = build_html(text, recipe, per_block=ORACLE_PER_BLOCK)
     assert extract_main_text(page) == expected
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_parse_links_contained_on_garbage(payload):
+    from pdfi_spark.core.html import parse_links
+
+    # anchor collection never raises and every link has a non-None href
+    for link in parse_links(payload):
+        assert link["href"] is not None
+        assert link["text"] == link["text"].strip()
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
+        min_size=6, max_size=40,
+    ),
+    st.integers(min_value=0, max_value=499),
+)
+@settings(max_examples=80, deadline=None)
+def test_random_texts_planted_links_recovered(words, doc_id):
+    from pdfi_spark.core.html import parse_links
+    from pdfi_spark.core.htmlgen import ORACLE_PER_BLOCK, build_linked_page
+
+    page, targets = build_linked_page(
+        doc_id, 500, " ".join(words), per_block=ORACLE_PER_BLOCK
+    )
+    cites = [l for l in parse_links(page) if l["href"].startswith("/doc/")]
+    assert [int(l["href"][5:]) for l in cites] == targets
