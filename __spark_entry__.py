@@ -1022,6 +1022,13 @@ def oracle_sql() -> dict[str, str]:
     # every page shape (plain/boiler/linkfarm/entities/nested/malformed)
     for recipe in HTML_ORACLE_RECIPES:
         out[f"html_{recipe}"] = "SELECT doc_id, text AS main_text FROM documents"
+    # latin1's golden text carries the generator's accent injection: the
+    # page is ISO-8859-1 bytes behind a <meta charset>, so a match here
+    # proves the charset prescan ran (a UTF-8 misdecode cannot roundtrip)
+    out["html_latin1"] = (
+        "SELECT doc_id, replace(replace(text, 'a', 'á'), 'e', 'é') "
+        "AS main_text FROM documents"
+    )
     out["html_streaming"] = "SELECT doc_id, text AS main_text FROM documents"
     out["html_block_stats"] = (
         f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "

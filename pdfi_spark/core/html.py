@@ -24,8 +24,9 @@ uses short-block pruning); they are constants here so the DuckDB oracle
 can mirror classification decisions exactly on generator-built pages.
 
 Malformed input is contained, never raised: ``html.parser`` is lenient
-by design, bytes are decoded UTF-8 with replacement, and a page with no
-content blocks extracts to the empty string.
+by design, bytes are decoded via charset sniffing (BOM > <meta charset>
+prescan > UTF-8, HTML5 §13.2.3.2 simplified) with replacement, and a
+page with no content blocks extracts to the empty string.
 """
 from __future__ import annotations
 
@@ -52,6 +53,40 @@ _BLOCK_TAGS = frozenset(
 )
 
 _WS_RE = re.compile(r"\s+")
+
+# HTML5 §13.2.3.2 prescan, simplified: BOM first, else a <meta charset>
+# / <meta http-equiv="content-type"> declaration in the first 1024
+# bytes, else UTF-8. The meta scan is byte-level ASCII (charset names
+# are ASCII by construction) so it works before any decode.
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I
+)
+_PRESCAN_BYTES = 1024
+
+
+def sniff_charset(page: bytes) -> str:
+    """Detect a page's encoding: BOM > meta declaration > utf-8."""
+    if page[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if page[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET_RE.search(page[:_PRESCAN_BYTES])
+    if m:
+        try:
+            name = m.group(1).decode("ascii")
+            "".encode(name)  # raises LookupError on unknown codecs
+            return name
+        except LookupError:
+            pass
+    return "utf-8"
+
+
+def decode_page(page: bytes | str) -> str:
+    """Charset-sniffed lenient decode (errors replaced, never raised)."""
+    if isinstance(page, str):
+        return page
+    page = bytes(page)
+    return page.decode(sniff_charset(page), errors="replace")
 
 
 class _BlockCollector(HTMLParser):
@@ -178,8 +213,7 @@ def parse_links(page: bytes | str) -> list[dict]:
     value, charrefs decoded) and text (whitespace-flattened anchor text).
     href-less anchors (<a name=...>) are omitted; unclosed anchors at EOF
     are dropped (no reliable text extent)."""
-    if isinstance(page, (bytes, bytearray, memoryview)):
-        page = bytes(page).decode("utf-8", errors="replace")
+    page = decode_page(page)
     collector = _LinkCollector()
     collector.feed(page)
     collector.close()
@@ -189,8 +223,7 @@ def parse_links(page: bytes | str) -> list[dict]:
 def parse_blocks(page: bytes | str) -> list[dict]:
     """Page bytes -> scored blocks: each dict has text, n_words,
     n_link_words, link_density, is_content."""
-    if isinstance(page, (bytes, bytearray, memoryview)):
-        page = bytes(page).decode("utf-8", errors="replace")
+    page = decode_page(page)
     collector = _BlockCollector()
     collector.feed(page)
     collector.close()

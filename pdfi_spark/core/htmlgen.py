@@ -187,6 +187,34 @@ def build_linked_page(doc_id: int, n_docs: int, text: str,
     return _page(body), targets
 
 
+# accent injection for the latin1 recipe: closed-form in SQL
+# (replace(text, 'a', 'á') twice-over), and every mapped char is outside
+# ASCII so a UTF-8 misdecode of the ISO-8859-1 bytes CANNOT roundtrip —
+# the recipe actually proves the charset sniff ran
+_ACCENTS = str.maketrans({"a": "á", "e": "é"})  # á é
+
+
+def recipe_latin1(text: str, per_block: int = 6) -> tuple[bytes, str]:
+    """ISO-8859-1 page with a <meta charset> declaration and accented
+    content: extraction must prescan the charset, decode latin-1, and
+    recover the accented golden text exactly."""
+    accented = text.translate(_ACCENTS)
+    paras = _paragraphs(accented, per_block)
+    body = (
+        _nav()
+        + "<article>"
+        + "".join(f"<p>{p.translate(_ESCAPE)}</p>" for p in paras)
+        + "</article>"
+        + _FOOTER
+    )
+    page = (
+        "<!DOCTYPE html><html><head><title>example page</title>"
+        '<meta charset="iso-8859-1"></head>'
+        f"<body>{body}</body></html>"
+    ).encode("iso-8859-1")
+    return page, "\n".join(paras)
+
+
 HTML_RECIPES = {
     "plain": recipe_plain,
     "boiler": recipe_boiler,
@@ -194,6 +222,7 @@ HTML_RECIPES = {
     "entities": recipe_entities,
     "nested": recipe_nested,
     "malformed": recipe_malformed,
+    "latin1": recipe_latin1,
 }
 
 

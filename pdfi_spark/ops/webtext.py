@@ -31,6 +31,7 @@ from ..core.htmlgen import ORACLE_PER_BLOCK, build_html, build_linked_page
 
 HTML_ORACLE_RECIPES = [
     "plain", "boiler", "linkfarm", "entities", "nested", "malformed",
+    "latin1",
 ]
 
 # boiler-recipe boilerplate is a fixed page skeleton: derive its block

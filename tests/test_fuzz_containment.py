@@ -90,7 +90,7 @@ def test_random_texts_roundtrip_exactly(words, which):
         st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=9),
         min_size=6, max_size=40,
     ),
-    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=6),
 )
 @settings(max_examples=120, deadline=None)
 def test_random_texts_html_roundtrip(words, which):

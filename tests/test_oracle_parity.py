@@ -26,6 +26,7 @@ SUBSET = [
     "lang_id_ngram",
     "token_counts",
     "html_boiler",
+    "html_latin1",
     "html_block_stats",
     "html_outlinks",
     "link_graph_degrees",
