@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["html_outlinks"] = ops.html_outlinks
     out["link_graph_degrees"] = ops.link_graph_degrees
     out["link_graph_pagerank"] = ops.link_graph_pagerank
+    out["warc_extract"] = ops.warc_extract
     out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
@@ -1030,6 +1031,13 @@ def oracle_sql() -> dict[str, str]:
         "AS main_text FROM documents"
     )
     out["html_streaming"] = "SELECT doc_id, text AS main_text FROM documents"
+    # WARC roundtrip: url is closed-form, main_text must survive the
+    # .warc.gz container (member-per-record gzip, Content-Length framing,
+    # HTTP-head split), n_records pins the request/response/metadata triple
+    out["warc_extract"] = (
+        "SELECT doc_id, 'https://example.org/page/' || doc_id AS url, "
+        "text AS main_text, 3::INTEGER AS n_records FROM documents"
+    )
     out["html_block_stats"] = (
         f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "
         "1::INTEGER AS n_content_blocks, "

@@ -1,0 +1,147 @@
+"""WARC/1.0 container support — the Common-Crawl archive format the
+production pipeline reads pages from (ISO 28500). Spark-free like the
+rest of core/; built from the public spec, no reference counterpart
+(chbrown/pdfi has no container format; this is north-rule plumbing).
+
+Format essentials implemented here:
+
+- A record is ``WARC/1.0\\r\\n`` + header lines (``Name: value\\r\\n``) +
+  ``\\r\\n`` + exactly Content-Length payload bytes + ``\\r\\n\\r\\n``.
+- Records concatenate into a .warc file; Common Crawl ships .warc.gz
+  where each record is its OWN gzip member (so a byte-range fetch can
+  decompress one record without the rest of the file) — mirrored here
+  by compressing per record and concatenating the members.
+- A crawl capture is a request/response/metadata record triple sharing
+  a WARC-Date; the page bytes live in the ``response`` record's payload
+  after the HTTP response head (split at the first ``\\r\\n\\r\\n``).
+
+Parsing is containment-first: a malformed record (bad magic, missing
+Content-Length, truncated payload) ends the scan without raising —
+records recovered so far are returned. Content-Length framing (never
+delimiter scanning) makes payloads that themselves contain
+``WARC/1.0`` safe.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+
+_CRLF = b"\r\n"
+_MAGIC = b"WARC/1.0"
+
+
+def build_record(warc_type: str, headers: dict[str, str],
+                 payload: bytes) -> bytes:
+    lines = [_MAGIC, f"WARC-Type: {warc_type}".encode()]
+    lines += [f"{k}: {v}".encode() for k, v in headers.items()]
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    return _CRLF.join(lines) + _CRLF * 2 + payload + _CRLF * 2
+
+
+def build_capture_records(url: str, date: str, page: bytes,
+                          record_id: str) -> list[bytes]:
+    """Request/response/metadata triple for one page capture, matching
+    the Common-Crawl layout, as separate record byte runs (so callers
+    can gzip member-per-record). The page rides behind a minimal
+    HTTP/1.1 response head inside the response record."""
+    http_head = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        + f"Content-Length: {len(page)}".encode() + _CRLF * 2
+    )
+    common = {"WARC-Target-URI": url, "WARC-Date": date,
+              "WARC-Record-ID": f"<urn:uuid:{record_id}>"}
+    return [
+        build_record("request", common,
+                     f"GET {url} HTTP/1.1\r\nHost: x\r\n\r\n".encode()),
+        build_record("response",
+                     {**common, "Content-Type":
+                      "application/http; msgtype=response"},
+                     http_head + page),
+        build_record("metadata", common, b"fetchTimeMs: 7\r\n"),
+    ]
+
+
+def build_capture(url: str, date: str, page: bytes,
+                  record_id: str) -> bytes:
+    return b"".join(build_capture_records(url, date, page, record_id))
+
+
+def parse_records(data: bytes) -> list[dict]:
+    """Concatenated WARC records -> [{type, headers, payload}]."""
+    out: list[dict] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate inter-record padding
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.find(_CRLF * 2, pos)
+        if not data.startswith(_MAGIC, pos) or head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos + len(_MAGIC):head_end].split(_CRLF):
+            name, sep, value = line.partition(b":")
+            if sep:
+                headers[name.strip().decode("ascii", "replace")] = (
+                    value.strip().decode("ascii", "replace"))
+        try:
+            length = int(headers["Content-Length"])
+        except (KeyError, ValueError):
+            break
+        body_start = head_end + 4
+        if body_start + length > n:
+            break  # truncated payload: keep what we have
+        out.append({
+            "type": headers.get("WARC-Type", ""),
+            "headers": headers,
+            "payload": data[body_start:body_start + length],
+        })
+        pos = body_start + length
+    return out
+
+
+def split_http_payload(payload: bytes) -> bytes:
+    """Response-record payload -> page bytes (drop the HTTP head)."""
+    sep = payload.find(_CRLF * 2)
+    return payload[sep + 4:] if sep >= 0 else payload
+
+
+def responses(data: bytes) -> list[dict]:
+    """Response captures only: [{url, date, page}]."""
+    return [
+        {
+            "url": r["headers"].get("WARC-Target-URI", ""),
+            "date": r["headers"].get("WARC-Date", ""),
+            "page": split_http_payload(r["payload"]),
+        }
+        for r in parse_records(data)
+        if r["type"] == "response"
+    ]
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record -> one gzip member (mtime pinned for determinism)."""
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(record)
+    return buf.getvalue()
+
+
+def gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members -> concatenated plain bytes (the
+    member-per-record layout decompresses member by member; malformed
+    tail data is dropped, never raised)."""
+    out = []
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member: keep what decompressed
+        data = d.unused_data
+    return b"".join(out)

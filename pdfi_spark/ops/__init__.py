@@ -24,7 +24,7 @@ from .similarity import (
 )
 from .webtext import (html_block_stats, html_main_content, html_outlinks,
                       link_graph_degrees, link_graph_pagerank,
-                      strip_boilerplate)
+                      read_warc_pages, strip_boilerplate, warc_extract)
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -48,4 +48,5 @@ __all__ = [
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
     "html_outlinks", "link_graph_degrees", "link_graph_pagerank",
+    "read_warc_pages", "warc_extract",
 ]

@@ -31,6 +31,7 @@ SUBSET = [
     "html_outlinks",
     "link_graph_degrees",
     "link_graph_pagerank",
+    "warc_extract",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

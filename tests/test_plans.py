@@ -140,6 +140,16 @@ def test_outlink_extraction_is_narrow_and_degrees_one_shuffle(spark):
     assert "HashAggregate" in plan
 
 
+def test_warc_extract_is_narrow_and_prunes_scan(spark):
+    # the whole container roundtrip (gzip members, record parse, HTTP
+    # split, boilerplate strip) is one fused mapInPandas: zero
+    # exchanges, scan pruned to doc_id+text
+    plan = _plan(ops.warc_extract(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0]
+
+
 def test_pagerank_topk_avoids_full_sort(spark):
     # the iterative body is materialized per iteration (localCheckpoint,
     # same subtree-reuse rule as dedup); the FINAL stage must be a
