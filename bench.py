@@ -127,6 +127,7 @@ def main() -> int:
         "html_block_stats": ops.html_block_stats,
         "link_graph_degrees": ops.link_graph_degrees,
         "link_graph_pagerank": ops.link_graph_pagerank,
+        "warc_extract": ops.warc_extract,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",
