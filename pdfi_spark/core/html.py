@@ -30,6 +30,7 @@ page with no content blocks extracts to the empty string.
 """
 from __future__ import annotations
 
+import codecs
 import re
 from html.parser import HTMLParser
 
@@ -57,10 +58,13 @@ _WS_RE = re.compile(r"\s+")
 # HTML5 §13.2.3.2 prescan, simplified: BOM first, else a <meta charset>
 # / <meta http-equiv="content-type"> declaration in the first 1024
 # bytes, else UTF-8. The meta scan is byte-level ASCII (charset names
-# are ASCII by construction) so it works before any decode.
+# are ASCII by construction) so it works before any decode. Comments in
+# the window are skipped like the spec's tokenizer; declarations inside
+# script strings are a known (rare) over-match.
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.I
 )
+_COMMENT_RE = re.compile(rb"<!--.*?-->", re.S)
 _PRESCAN_BYTES = 1024
 
 
@@ -70,11 +74,20 @@ def sniff_charset(page: bytes) -> str:
         return "utf-8-sig"
     if page[:2] in (b"\xff\xfe", b"\xfe\xff"):
         return "utf-16"
-    m = _META_CHARSET_RE.search(page[:_PRESCAN_BYTES])
+    head = _COMMENT_RE.sub(b"", page[:_PRESCAN_BYTES])
+    # an unterminated comment swallows the rest of the window
+    open_comment = head.find(b"<!--")
+    if open_comment >= 0:
+        head = head[:open_comment]
+    m = _META_CHARSET_RE.search(head)
     if m:
         try:
             name = m.group(1).decode("ascii")
-            "".encode(name)  # raises LookupError on unknown codecs
+            resolved = codecs.lookup(name).name
+            # spec: utf-16 meta labels remap to UTF-8 (an ASCII-readable
+            # declaration cannot itself be utf-16 encoded)
+            if resolved.startswith("utf-16") or resolved.startswith("utf-32"):
+                return "utf-8"
             return name
         except LookupError:
             pass
@@ -86,7 +99,10 @@ def decode_page(page: bytes | str) -> str:
     if isinstance(page, str):
         return page
     page = bytes(page)
-    return page.decode(sniff_charset(page), errors="replace")
+    try:
+        return page.decode(sniff_charset(page), errors="replace")
+    except Exception:  # noqa: BLE001 — codecs like idna reject errors=
+        return page.decode("utf-8", errors="replace")
 
 
 class _BlockCollector(HTMLParser):
@@ -170,8 +186,8 @@ class _BlockCollector(HTMLParser):
 class _LinkCollector(HTMLParser):
     """Collects every anchor's (href, text) in document order, skipping
     non-content subtrees (script/style/svg/...) like the block parser.
-    Nested anchors (invalid but seen in soup) accumulate data into every
-    open anchor frame, mirroring lenient-browser behavior."""
+    A nested <a> auto-closes the open anchor first (anchors cannot nest
+    in the DOM; browsers emit them as siblings with disjoint text)."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -186,8 +202,16 @@ class _LinkCollector(HTMLParser):
         if self._drop_depth:
             return
         if tag == "a":
+            if self._frames:  # nested <a>: auto-close the open anchor
+                self._emit()
             href = next((v for k, v in attrs if k == "href"), None)
             self._frames.append((href, []))
+
+    def _emit(self) -> None:
+        href, parts = self._frames.pop()
+        if href is not None:
+            text = _WS_RE.sub(" ", "".join(parts)).strip()
+            self.links.append({"href": href, "text": text})
 
     def handle_endtag(self, tag: str) -> None:
         if tag in _DROP_SUBTREE:
@@ -196,10 +220,7 @@ class _LinkCollector(HTMLParser):
         if self._drop_depth:
             return
         if tag == "a" and self._frames:
-            href, parts = self._frames.pop()
-            if href is not None:
-                text = _WS_RE.sub(" ", "".join(parts)).strip()
-                self.links.append({"href": href, "text": text})
+            self._emit()
 
     def handle_data(self, data: str) -> None:
         if self._drop_depth or not data:

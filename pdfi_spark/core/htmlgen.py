@@ -199,6 +199,9 @@ def recipe_latin1(text: str, per_block: int = 6) -> tuple[bytes, str]:
     content: extraction must prescan the charset, decode latin-1, and
     recover the accented golden text exactly."""
     accented = text.translate(_ACCENTS)
+    # total on any input: chars outside latin-1 become '?' BEFORE the
+    # golden text is fixed, so page and expectation stay in lockstep
+    accented = accented.encode("iso-8859-1", "replace").decode("iso-8859-1")
     paras = _paragraphs(accented, per_block)
     body = (
         _nav()

@@ -115,7 +115,8 @@ def html_main_content(recipe: str):
     return q
 
 
-def html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def html_outlinks(spark: SparkSession, sf_dir: str,
+                  n_docs: int | None = None) -> DataFrame:
     """Link-graph edge extraction — the Common-Crawl outlink operator.
     Pages (generated with deterministically planted ``/doc/{target}``
     citations amid boilerplate links) are parsed with core/html.py's
@@ -127,7 +128,8 @@ def html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hrefs come off real pages); edge fan-out happens inside the UDF, so
     no explode shuffle either."""
     base = _base(spark, sf_dir)
-    n_docs = base.count()  # parquet count-star: metadata-only at any scale
+    if n_docs is None:
+        n_docs = base.count()  # parquet count-star: metadata-only job
 
     def run(iterator):
         for batch in iterator:
@@ -218,7 +220,7 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fused generate+parse mapInPandas: zero exchanges, scan pruned."""
     from ..core.warc import (
         build_capture_records, gunzip_members, gzip_member, parse_records,
-        responses,
+        split_http_payload,
     )
 
     def run(iterator):
@@ -236,15 +238,19 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         record_id=f"{doc_id:08x}",
                     )
                 )
-                data = gunzip_members(blob)
-                caps = responses(data)
+                recs = parse_records(gunzip_members(blob))
+                caps = [r for r in recs if r["type"] == "response"]
                 rows.append({
                     "doc_id": doc_id,
-                    "url": caps[0]["url"] if caps else None,
-                    "main_text": (
-                        extract_main_text(caps[0]["page"]) if caps else None
+                    "url": (
+                        caps[0]["headers"].get("WARC-Target-URI")
+                        if caps else None
                     ),
-                    "n_records": len(parse_records(data)),
+                    "main_text": (
+                        extract_main_text(split_http_payload(caps[0]["payload"]))
+                        if caps else None
+                    ),
+                    "n_records": len(recs),
                 })
             yield pd.DataFrame(
                 rows, columns=["doc_id", "url", "main_text", "n_records"]
@@ -281,13 +287,13 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (crawl pages with zero outlinks would need the
     standard dangling-mass redistribution term, omitted here as the
     generator never produces them)."""
+    nodes = _base(spark, sf_dir).select("doc_id")
+    n_docs = nodes.count()
     edges = (
-        html_outlinks(spark, sf_dir)
+        html_outlinks(spark, sf_dir, n_docs=n_docs)
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    nodes = _base(spark, sf_dir).select("doc_id")
-    n_docs = nodes.count()
     # per-edge contribution weight 1/out-degree, precomputed once
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ew = (

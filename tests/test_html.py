@@ -241,3 +241,47 @@ def test_latin1_recipe_requires_the_sniff():
         page.decode("utf-8")
     assert "á" in expected and "é" in expected
     assert extract_main_text(page) == expected
+
+
+def test_charset_sniff_hardening():
+    from pdfi_spark.core.html import decode_page, parse_links, sniff_charset
+
+    # codecs that reject errors='replace' (idna) must not escape the
+    # containment contract
+    page = b'<meta charset="idna"><p>real content words live here</p>'
+    assert "real content" in decode_page(page)
+    assert parse_links(b'<meta charset="idna"><a href="/x">t</a>') == [
+        {"href": "/x", "text": "t"}
+    ]
+    # spec remap: an ASCII-readable utf-16/32 meta label cannot be true,
+    # decode as UTF-8 instead of garbling the page
+    assert sniff_charset(b'<meta charset="utf-16">') == "utf-8"
+    assert sniff_charset(b'<meta charset="UTF-32LE">') == "utf-8"
+    # commented-out declarations are skipped, later real ones honored
+    assert sniff_charset(
+        b'<!-- <meta charset="koi8-r"> --><meta charset="iso-8859-1">'
+    ) == "iso-8859-1"
+    # an unterminated comment swallows the rest of the prescan window
+    assert sniff_charset(b'<!-- <meta charset="koi8-r">') == "utf-8"
+
+
+def test_nested_anchors_auto_close():
+    from pdfi_spark.core.html import parse_links
+
+    # browsers close the open anchor at a nested <a>: siblings with
+    # disjoint text, and the outer anchor keeps only its own prefix
+    links = parse_links(b'<a href="/outer">pre <a href="/inner">x</a>more')
+    assert links == [
+        {"href": "/outer", "text": "pre"},
+        {"href": "/inner", "text": "x"},
+    ]
+
+
+def test_latin1_recipe_total_on_non_latin1_text():
+    from pdfi_spark.core.htmlgen import recipe_latin1
+
+    page, expected = recipe_latin1(
+        "price €99 cash only here today", per_block=ORACLE_PER_BLOCK
+    )
+    assert "?" in expected  # euro sign replaced BEFORE the golden text
+    assert extract_main_text(page) == expected
