@@ -362,6 +362,65 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _warc_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-crawl ingest path: readStream over .warc.gz blobs
+    (one capture triple per document, member-per-record gzip) ->
+    read_warc_pages connector -> boilerplate strip -> memory sink, one
+    available-now pass. Same oracle as the batch warc roundtrip."""
+    import tempfile
+    import uuid
+
+    from pdfi_spark.core.htmlgen import ORACLE_PER_BLOCK as HTML_ORACLE_PER_BLOCK
+    from pdfi_spark.core.htmlgen import build_html
+    from pdfi_spark.core.warc import build_capture_records, gzip_member
+    from pdfi_spark.ops.webtext import read_warc_pages, strip_boilerplate
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def gen(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                doc_id = int(doc_id)
+                page = build_html(
+                    text, "boiler", per_block=HTML_ORACLE_PER_BLOCK
+                )[0]
+                blob = b"".join(
+                    gzip_member(r)
+                    for r in build_capture_records(
+                        f"https://example.org/page/{doc_id}",
+                        "2026-01-01T00:00:00Z", page,
+                        record_id=f"{doc_id:08x}",
+                    )
+                )
+                rows.append({"path": f"seg/{doc_id}.warc.gz", "content": blob})
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    blobs = base.mapInPandas(gen, schema="path string, content binary")
+    input_dir = tempfile.mkdtemp(prefix="pdfi_warc_stream_")
+    blobs.write.mode("overwrite").parquet(input_dir)
+
+    stream = spark.readStream.schema("path string, content binary").parquet(
+        input_dir
+    )
+    stripped = strip_boilerplate(read_warc_pages(stream), page_col="page")
+    name = f"warc_streaming_{uuid.uuid4().hex[:8]}"
+    query = (
+        stripped.writeStream.queryName(name).format("memory")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_warc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.replace(
+            F.col("url"), F.lit("https://example.org/page/"), F.lit("")
+        ).cast("long").alias("doc_id"),
+        "main_text",
+    )
+
+
 def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of extract_flate: readStream over the
     same synthetic corpus -> mapInPandas extraction -> memory sink, one
@@ -458,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["link_graph_degrees"] = ops.link_graph_degrees
     out["link_graph_pagerank"] = ops.link_graph_pagerank
     out["warc_extract"] = ops.warc_extract
+    out["warc_streaming"] = _warc_streaming_query
     out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
@@ -1038,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, 'https://example.org/page/' || doc_id AS url, "
         "text AS main_text, 3::INTEGER AS n_records FROM documents"
     )
+    out["warc_streaming"] = "SELECT doc_id, text AS main_text FROM documents"
     out["html_block_stats"] = (
         f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "
         "1::INTEGER AS n_content_blocks, "
