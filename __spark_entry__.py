@@ -530,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["asof_join_events"] = ops.asof_join_events
     out["range_join_counts"] = ops.range_join_counts
     out["json_props_stats"] = ops.json_props_stats
+    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
     out["dedup_clusters"] = ops.dedup_clusters
     # -- group 3: stable since earlier rounds --
     out["nation_revenue_topk"] = ops.nation_revenue_topk
@@ -539,7 +540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cosine_topk"] = ops.cosine_topk
     out["cosine_adjacent"] = ops.cosine_adjacent_pairs
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
-    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
     out["ivf_cell_counts"] = ops.ivf_cell_counts
     out["ivf_topk"] = ops.ivf_topk
     out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
@@ -761,21 +761,25 @@ def oracle_sql() -> dict[str, str]:
 
     _asof_frame = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    # the matched view is ONE nullable struct (id+value cannot decouple
+    # through two independent IGNORE NULLS scans when a view value is
+    # NULL) — mirroring the Spark struct-carry exactly
     out["asof_join_events"] = (
         "WITH b AS (SELECT event_id, ts, user_id, event_type, "
-        f"CASE WHEN event_type = '{ASOF_RIGHT_TYPE}' THEN event_id END AS vid, "
-        f"CASE WHEN event_type = '{ASOF_RIGHT_TYPE}' THEN value END AS vval "
+        f"CASE WHEN event_type = '{ASOF_RIGHT_TYPE}' THEN "
+        "struct_pack(vid := event_id, vval := value) END AS v "
         f"FROM events WHERE event_type IN ('{ASOF_LEFT_TYPE}', '{ASOF_RIGHT_TYPE}')), "
         "m AS (SELECT event_id, user_id, event_type, "
-        f"last_value(vid IGNORE NULLS) {_asof_frame} AS asof_view_id, "
-        f"round(last_value(vval IGNORE NULLS) {_asof_frame}, 6) AS asof_view_value "
+        f"last_value(v IGNORE NULLS) {_asof_frame} AS v "
         "FROM b) "
-        "SELECT event_id AS click_id, user_id, asof_view_id, asof_view_value "
+        "SELECT event_id AS click_id, user_id, (v).vid AS asof_view_id, "
+        "round((v).vval, 6) AS asof_view_value "
         f"FROM m WHERE event_type = '{ASOF_LEFT_TYPE}'"
     )
     out["range_join_counts"] = (
         "WITH o AS (SELECT event_id, user_id, event_type, "
-        "floor(epoch(ts))::BIGINT AS es FROM events), "
+        "floor(epoch(ts))::BIGINT AS es FROM events "
+        "WHERE event_type IN ('click', 'error')), "
         "c AS (SELECT event_id, user_id, event_type, "
         "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER "
         "(PARTITION BY user_id ORDER BY es "

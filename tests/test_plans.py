@@ -140,6 +140,21 @@ def test_outlink_extraction_is_narrow_and_degrees_one_shuffle(spark):
     assert "HashAggregate" in plan
 
 
+def test_materialized_folds_do_not_reexecute(spark):
+    # the subtree-reuse rule (CLAUDE.md): expensive narrow folds feeding
+    # a union/self-join are localCheckpoint'ed, so the consumer plans
+    # must read ExistingRDD and contain ZERO fold re-execution (md5 for
+    # the hash folds) — dropping a .localCheckpoint silently reintroduces
+    # the measured 2x-4x re-execution these guards pin
+    for fn in [ops.minhash_lsh_buckets, ops.simhash_neardup_pairs]:
+        plan = _plan(fn(spark, SF))
+        assert "ExistingRDD" in plan, fn.__name__
+        assert "md5" not in plan, f"{fn.__name__} re-executes the fold"
+    plan = _plan(ops.embedding_neardup_topk(spark, SF))
+    assert "ExistingRDD" in plan
+    assert plan.count("Exchange") == 1  # only the bucket self-join shuffle
+
+
 def test_warc_extract_is_narrow_and_prunes_scan(spark):
     # the whole container roundtrip (gzip members, record parse, HTTP
     # split, boilerplate strip) is one fused mapInPandas: zero
