@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for recipe in HTML_ORACLE_RECIPES:
         out[f"html_{recipe}"] = ops.html_main_content(recipe)
     out["html_block_stats"] = ops.html_block_stats
+    out["html_content_spans"] = ops.html_content_spans
     out["html_outlinks"] = ops.html_outlinks
     out["link_graph_degrees"] = ops.link_graph_degrees
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -1157,6 +1158,24 @@ def oracle_sql() -> dict[str, str]:
     out["link_graph_pagerank"] = _pr + (
         f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
         f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
+    )
+    # span census: boilerplate spans are probe-derived skeleton constants,
+    # the content span is the text column — fully closed-form both sides
+    from pdfi_spark.ops.webtext import SPAN_BOILER_BLOCKS, SPAN_CONTENT_IDX
+
+    _span_values = ", ".join(
+        "({}, '{}', {})".format(i, t.replace("'", "''"), n)
+        for i, t, n in SPAN_BOILER_BLOCKS
+    )
+    out["html_content_spans"] = (
+        f"SELECT doc_id, b.i::INTEGER AS block_idx, b.t AS block_text, "
+        "b.n::INTEGER AS n_words, false AS is_content "
+        f"FROM documents CROSS JOIN (VALUES {_span_values}) AS b(i, t, n) "
+        "UNION ALL "
+        f"SELECT doc_id, {SPAN_CONTENT_IDX}::INTEGER AS block_idx, "
+        "text AS block_text, "
+        "len(string_split(text, ' '))::INTEGER AS n_words, "
+        "true AS is_content FROM documents"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

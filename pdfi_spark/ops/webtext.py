@@ -331,6 +331,58 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def html_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level extraction — the north rule's 'extracted text/spans
+    per document': every DOM block of the boiler page in document order
+    with its classification (doc_id, block_idx, block_text, n_words,
+    is_content). The boilerplate spans are page-skeleton constants
+    (probe-derived at import, never hand-maintained); the content span
+    is the text column — both sides of the oracle are closed-form.
+    Same fused zero-exchange mapInPandas shape as the other html ops."""
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                page, _ = build_html(text, "boiler", per_block=ORACLE_PER_BLOCK)
+                for idx, b in enumerate(parse_blocks(page)):
+                    rows.append({
+                        "doc_id": int(doc_id),
+                        "block_idx": idx,
+                        "block_text": b["text"],
+                        "n_words": b["n_words"],
+                        "is_content": b["is_content"],
+                    })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "block_idx", "block_text", "n_words",
+                         "is_content"],
+            )
+
+    return _base(spark, sf_dir).mapInPandas(
+        run,
+        schema="doc_id long, block_idx int, block_text string, "
+               "n_words int, is_content boolean",
+    )
+
+
+# probe-derived span constants for the html_content_spans oracle: the
+# boiler skeleton's boilerplate blocks (text, position) around the single
+# content block, with their document-order indices
+_SPAN_PROBE = parse_blocks(
+    build_html("probe words long enough here", "boiler",
+               per_block=ORACLE_PER_BLOCK)[0]
+)
+SPAN_CONTENT_IDX = next(
+    i for i, b in enumerate(_SPAN_PROBE) if b["is_content"]
+)
+SPAN_BOILER_BLOCKS = [
+    (i, b["text"], b["n_words"])
+    for i, b in enumerate(_SPAN_PROBE)
+    if not b["is_content"]
+]
+
+
 def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic block census on the boiler recipe: per page, total /
     content / boilerplate block and word counts. The boilerplate side is

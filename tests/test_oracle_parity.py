@@ -29,6 +29,7 @@ SUBSET = [
     "html_latin1",
     "html_block_stats",
     "html_outlinks",
+    "html_content_spans",
     "link_graph_degrees",
     "link_graph_pagerank",
     "warc_extract",
