@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["session_window_events"] = _session_window_query
     out["streaming_dedup_state"] = _streaming_dedup_state_query
     out["corpus_stats"] = ops.corpus_stats
+    out["length_percentiles"] = ops.length_percentiles
     out["repetition_scores"] = ops.repetition_scores
     out["quality_filter"] = ops.quality_filter
     out["stratified_sample"] = ops.stratified_sample
@@ -971,6 +972,14 @@ def oracle_sql() -> dict[str, str]:
         "sum(len(string_split(text, ' ')))::BIGINT AS total_words, "
         "max(len(string_split(text, ' ')))::INTEGER AS max_words "
         "FROM documents GROUP BY lang"
+    )
+    out["length_percentiles"] = (
+        "WITH w AS (SELECT lang, len(string_split(text, ' ')) AS words "
+        "FROM documents) "
+        "SELECT lang, round(quantile_cont(words, 0.5), 6) AS p50_words, "
+        "round(quantile_cont(words, 0.9), 6) AS p90_words, "
+        "round(quantile_cont(words, 0.99), 6) AS p99_words "
+        "FROM w GROUP BY lang"
     )
     from pdfi_spark.ops.textstats import (
         QF_MAX_DUP_3GRAM_FRACTION, QF_MAX_MEAN_WORD_LEN, QF_MAX_WORDS,

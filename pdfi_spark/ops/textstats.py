@@ -129,6 +129,29 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language word-count percentiles (p50/p90/p99) — the corpus
+    length-distribution dashboard query. Uses EXACT `percentile` so the
+    DuckDB `quantile_cont` twin matches bit-for-bit (both interpolate
+    linearly at p*(n-1)); at 10^12 rows production swaps in
+    `approx_percentile` (t-digest sketch, identical plan shape: one
+    hash-aggregate with map-side partial sketches), which an
+    approximation oracle cannot hash-pin — hence the exact variant
+    under the gate."""
+    docs = _docs(spark, sf_dir)
+    grouped = (
+        docs.select("lang", F.size(F.split("text", " ")).alias("words"))
+        .groupBy("lang")
+        .agg(F.expr("percentile(words, array(0.5D, 0.9D, 0.99D))").alias("p"))
+    )
+    return grouped.select(
+        "lang",
+        F.round(F.element_at("p", 1), 6).alias("p50_words"),
+        F.round(F.element_at("p", 2), 6).alias("p90_words"),
+        F.round(F.element_at("p", 3), 6).alias("p99_words"),
+    )
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: doc counts, char totals, word totals —
     one hash-aggregate shuffle with map-side partials (the shape of every

@@ -25,6 +25,7 @@ SUBSET = [
     "ivf_cell_counts",
     "lang_id_ngram",
     "token_counts",
+    "length_percentiles",
     "html_boiler",
     "html_latin1",
     "html_block_stats",
