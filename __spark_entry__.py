@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[f"html_{recipe}"] = ops.html_main_content(recipe)
     out["html_block_stats"] = ops.html_block_stats
     out["html_content_spans"] = ops.html_content_spans
+    out["corpus_build_counts"] = ops.corpus_build_counts
     out["html_outlinks"] = ops.html_outlinks
     out["link_graph_degrees"] = ops.link_graph_degrees
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -1010,6 +1011,30 @@ def oracle_sql() -> dict[str, str]:
         f"(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS} "
         f"AND mean_wl >= {QF_MIN_MEAN_WORD_LEN} AND mean_wl <= {QF_MAX_MEAN_WORD_LEN} "
         f"AND dup_frac <= {QF_MAX_DUP_3GRAM_FRACTION}) AS keep FROM q"
+    )
+    out["corpus_build_counts"] = (
+        "WITH base AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN "
+        "array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') "
+        "ELSE text END AS text FROM documents), "
+        "corpus AS (SELECT text FROM base UNION ALL "
+        "SELECT text FROM base WHERE doc_id % 7 = 0), "
+        "q AS (SELECT text, len(string_split(text, ' ')) AS n_words, "
+        "length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS mean_wl, "
+        "CASE WHEN len(string_split(text, ' ')) >= 3 THEN "
+        "1.0 - len(list_distinct(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))))::DOUBLE / len(list_transform(range(0, greatest(len(string_split(text, ' ')) - 2, 1)), i -> array_to_string(list_slice(string_split(text, ' '), i + 1, i + 3), ' '))) "
+        "ELSE 0.0 END AS dup_frac FROM corpus), "
+        "k AS (SELECT text, "
+        "(n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS} "
+        "AND mean_wl >= {QF_MIN_MEAN_WORD_LEN} AND mean_wl <= {QF_MAX_MEAN_WORD_LEN} "
+        "AND dup_frac <= {QF_MAX_DUP_3GRAM_FRACTION}) AS keep FROM q) "
+        "SELECT 'ingested' AS stage, count(*) AS n_docs FROM k "
+        "UNION ALL SELECT 'quality_pass', sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT FROM k "
+        "UNION ALL SELECT 'deduped', count(DISTINCT CASE WHEN keep THEN text END) FROM k"
+    ).format(
+        QF_MIN_WORDS=QF_MIN_WORDS, QF_MAX_WORDS=QF_MAX_WORDS,
+        QF_MIN_MEAN_WORD_LEN=QF_MIN_MEAN_WORD_LEN,
+        QF_MAX_MEAN_WORD_LEN=QF_MAX_MEAN_WORD_LEN,
+        QF_MAX_DUP_3GRAM_FRACTION=QF_MAX_DUP_3GRAM_FRACTION,
     )
     out["stratified_sample"] = (
         "WITH s AS (SELECT lang, "

@@ -22,7 +22,8 @@ from .similarity import (
     ivf_topk,
     lsh_ann_buckets,
 )
-from .webtext import (html_block_stats, html_content_spans,
+from .webtext import (corpus_build_counts, html_block_stats,
+                      html_content_spans,
                       html_main_content, html_outlinks,
                       link_graph_degrees, link_graph_pagerank,
                       read_warc_pages, strip_boilerplate, warc_extract)
@@ -49,7 +50,8 @@ __all__ = [
     "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
-    "html_outlinks", "html_content_spans", "link_graph_degrees",
+    "html_outlinks", "html_content_spans", "corpus_build_counts",
+    "link_graph_degrees",
     "link_graph_pagerank",
     "read_warc_pages", "warc_extract",
 ]

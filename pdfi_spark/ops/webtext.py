@@ -383,6 +383,79 @@ SPAN_BOILER_BLOCKS = [
 ]
 
 
+def corpus_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-build funnel in ONE query: page ingest +
+    boilerplate strip (fused mapInPandas) -> C4/Gopher quality gates on
+    the EXTRACTED text (same thresholds as ops.textstats.quality_filter)
+    -> exact dedup of survivors — emitting per-stage survivor counts
+    (stage, n_docs). This is the composition a training-data pipeline
+    actually runs; plan: one narrow Python stage, then a single two-phase
+    aggregate (count + conditional count-distinct), then a 3-row stack.
+    At 10^12 docs the only shuffle is the distinct's partial-aggregate
+    exchange."""
+    from .textstats import (
+        QF_MAX_DUP_3GRAM_FRACTION, QF_MAX_MEAN_WORD_LEN, QF_MAX_WORDS,
+        QF_MIN_MEAN_WORD_LEN, QF_MIN_WORDS,
+    )
+
+    # the driver corpus is clean by construction, so the funnel DEGRADES
+    # it deterministically first (mirrored in the oracle): every 13th doc
+    # truncated to its first 5 words (fails the min-word gate but still
+    # satisfies the page generator's 4-word floor), every 7th doc
+    # duplicated — so each stage genuinely shrinks
+    base = _base(spark, sf_dir)
+    words0 = F.split("text", " ")
+    degraded = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat_ws(" ", F.slice(words0, 1, 5))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    dups = degraded.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    corpus = degraded.unionByName(dups)
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                page, _ = build_html(text, "boiler", per_block=ORACLE_PER_BLOCK)
+                rows.append({"doc_id": int(doc_id),
+                             "main_text": extract_main_text(page)})
+            yield pd.DataFrame(rows, columns=["doc_id", "main_text"])
+
+    stripped = corpus.mapInPandas(run, schema="doc_id long, main_text string")
+    t = F.col("main_text")
+    words = F.split(t, " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_words - 3, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    dup_frac = F.when(
+        n_words >= 3,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
+        & (mean_wl >= QF_MIN_MEAN_WORD_LEN) & (mean_wl <= QF_MAX_MEAN_WORD_LEN)
+        & (dup_frac <= QF_MAX_DUP_3GRAM_FRACTION)
+    )
+    agg = stripped.agg(
+        F.count("*").alias("ingested"),
+        F.sum(keep.cast("long")).alias("quality_pass"),
+        F.count_distinct(F.when(keep, t)).alias("deduped"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'ingested', ingested, 'quality_pass', quality_pass, "
+            "'deduped', deduped) AS (stage, n_docs)"
+        )
+    )
+
+
 def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristic block census on the boiler recipe: per page, total /
     content / boilerplate block and word counts. The boilerplate side is

@@ -31,6 +31,7 @@ SUBSET = [
     "html_block_stats",
     "html_outlinks",
     "html_content_spans",
+    "corpus_build_counts",
     "link_graph_degrees",
     "link_graph_pagerank",
     "warc_extract",
