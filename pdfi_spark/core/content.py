@@ -69,6 +69,9 @@ _BOOL_RE = re.compile(rb"(true|false)")
 _NAME_RE = re.compile(rb"/([!-'*-.0-;=?-Z\\^-z|~]+)")
 _FLOAT_RE = re.compile(rb"-?[0-9]*\.[0-9]+")
 _INT_RE = re.compile(rb"-?[0-9]+")
+# one match for either numeric form (float alternative first, same
+# precedence as the FLOAT-then-INT attempts it replaces)
+_NUMBER_RE = re.compile(rb"-?(?:[0-9]*\.[0-9]+|[0-9]+)")
 _COMMENT_RE = re.compile(rb"%.+?(\r\n|\n|\r)")
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"]+[01*]?")
 _NONSPACE_RE = re.compile(rb"\S+")
@@ -114,15 +117,11 @@ def parse_content_stream(buffer: bytes) -> list[dict]:
             buf.pos = _WS_RE.match(data, pos).end()
             continue
         if 0x30 <= b <= 0x39 or b == 0x2D or b == 0x2E:  # digit - .
-            m = _FLOAT_RE.match(data, pos)
+            m = _NUMBER_RE.match(data, pos)
             if m:
                 buf.pos = m.end()
-                stack.append(float(m.group(0)))
-                continue
-            m = _INT_RE.match(data, pos)
-            if m:
-                buf.pos = m.end()
-                stack.append(int(m.group(0)))
+                tok = m.group(0)
+                stack.append(float(tok) if b"." in tok else int(tok))
                 continue
         elif b == 0x28:  # (
             buf.pos = pos + 1
@@ -590,10 +589,20 @@ class TextAtomDrawingContext(DrawingContext):
     def __init__(self, text_atoms: list, resources, depth: int = 0):
         super().__init__(resources, depth)
         self.text_atoms = text_atoms
+        # per-context memo: Tj runs share a font until the next Tf, so
+        # skip the Resources lookup on the (dominant) unchanged case;
+        # safe because each Do recursion gets its own context/resources
+        self._memo_font_name: str | None = None
+        self._memo_font = None
 
     def showString(self, buffer: bytes):
         font_name = self.graphics_state.text_state.font_name
-        font = self.resources.get_font(font_name)
+        if font_name == self._memo_font_name:
+            font = self._memo_font
+        else:
+            font = self.resources.get_font(font_name)
+            self._memo_font_name = font_name
+            self._memo_font = font
         if font is None:
             raise ValueError(f'Cannot find font "{font_name}" in Resources')
         x, y = self.get_text_position()
