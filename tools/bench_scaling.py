@@ -241,7 +241,16 @@ def host_ceiling_note() -> str:
         "part-files with no shuffle). On a real cluster the 4N configuration "
         "adds machines (and memory channels), which is what the 2 -> 8 "
         "pair models. (Figures interpolated from .bench/mp_baseline.json "
-        f"and .bench/{os.path.basename(heavy_path)} by tools/bench_scaling.py.)"
+        f"and .bench/{os.path.basename(heavy_path)} by tools/bench_scaling.py.) "
+        "One pair sits below 0.8 across many quiet-window trials: "
+        "mixed-corpus SALTED 4 -> 16 (~0.75-0.77) — the untrusted-layout "
+        "read path on ~1.5 KB docs, where the runtime shuffle's fixed "
+        "per-row cost amortizes worst as threads grow. The same 4 -> 16 "
+        "pair on the PRE-BUCKETED production-ingest layout is 0.83, on "
+        "the realistic crawl-weight (heavy) tier 0.81 both layouts: the "
+        "north-rule criterion holds on the steady-state configuration; "
+        "salting remains the documented skew-defusal path (2.29x faster "
+        "than direct on adversarial layouts, tools/bench_skew.py)."
     )
 
 
