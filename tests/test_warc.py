@@ -111,3 +111,18 @@ def test_any_payload_roundtrips_and_any_cut_is_contained(payload, cut):
     recs = parse_records(raw)
     assert len(recs) == 1 and recs[0]["payload"] == payload
     parse_records(raw[:cut])  # never raises
+
+
+@given(st.lists(st.binary(max_size=300), min_size=0, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_multi_record_gzip_roundtrip(payloads):
+    recs = [
+        build_record("response", {"WARC-Target-URI": f"u{i}"}, p)
+        for i, p in enumerate(payloads)
+    ]
+    blob = b"".join(gzip_member(r) for r in recs)
+    parsed = parse_records(gunzip_members(blob))
+    assert [r["payload"] for r in parsed] == payloads
+    assert [r["headers"]["WARC-Target-URI"] for r in parsed] == [
+        f"u{i}" for i in range(len(payloads))
+    ]
