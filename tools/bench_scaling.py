@@ -277,7 +277,13 @@ def update_baseline_md() -> None:
              "accumulate across invocations. Throughput uses best-of-trials "
              "(co-tenant interference on this shared host only ever slows a "
              "trial down, so min() approximates unloaded capability); medians "
-             "shown for transparency."]
+             "shown for transparency. Per-level bests are captured in "
+             "whatever idle epoch each level last hit: after a code speedup, "
+             "pair ratios wobble until every level re-captures its best under "
+             "the new code (the round-3 parser speedups re-captured levels "
+             "2/4/32 first; a steady ~2-core co-tenant load taxes the 8/16 "
+             "levels hardest, since a 2-4 core job still finds free cores "
+             "while an 8-16 core job contends)."]
     for style, job in (("mixed", "shuffle"), ("mixed", "direct"),
                        ("heavy", "shuffle"), ("heavy", "direct")):
         sfx = "" if job == "shuffle" else "_direct"
