@@ -1247,7 +1247,7 @@ def oracle_sql() -> dict[str, str]:
         "f AS (SELECT user_id, event_id, ts, tsec, "
         "lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM o), "
         "g AS (SELECT user_id, event_id, ts, "
-        "CASE WHEN prev IS NULL OR tsec - prev > 1800 THEN 1 ELSE 0 END AS ns FROM f), "
+        "CASE WHEN prev IS NULL OR tsec - prev >= 1800 THEN 1 ELSE 0 END AS ns FROM f), "
         "s AS (SELECT user_id, event_id, "
         "(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq FROM g) "

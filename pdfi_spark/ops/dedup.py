@@ -376,9 +376,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per cluster a pipeline would retain."""
     docs = _docs(spark, sf_dir)
     pairs = candidate_pairs(spark, sf_dir)
+    # subtree-reuse rule (CLAUDE.md): the shingle fold feeds BOTH join
+    # sides and the verified pairs feed BOTH union branches — without
+    # materialization the scan+fold runs 4x and the pair join + Jaccard
+    # verification 2x (measured in the executed plan)
     sh = (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("shingles"))
+        .localCheckpoint(eager=True)
     )
     verified = (
         pairs.join(sh.select(F.col("doc_id").alias("doc_a"),
@@ -391,6 +396,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= JACCARD_THRESHOLD
         )
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
     )
     edges = verified.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
@@ -411,7 +417,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the production bucket->pair->verify->cluster path is materialized in
     ``dedup_clusters`` above)."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
-    sh = docs.select("doc_id", _shingles().alias("shingles"))
+    # the shingle fold feeds both self-join sides: materialize once
+    sh = docs.select("doc_id", _shingles().alias("shingles")) \
+        .localCheckpoint(eager=True)
     right = sh.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("shingles").alias("shingles_b")
     )

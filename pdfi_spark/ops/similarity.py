@@ -223,6 +223,12 @@ def kmeans_codebook(emb: DataFrame, n: int = N_CENTROIDS,
                     F.col("new_cvec").cast("array<float>"), F.col("cvec")
                 ).alias("cvec"),
             )
+            # subtree-reuse rule: cent feeds BOTH the assignment broadcast
+            # and the update join of the NEXT iteration — un-materialized,
+            # earlier Lloyd iterations re-execute ~2^iters times (8 scans
+            # at iters=2, measured); same per-iteration lineage cut as
+            # link_graph_pagerank's ranks
+            .localCheckpoint(eager=True)
         )
     return cent
 

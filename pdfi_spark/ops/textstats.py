@@ -54,7 +54,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-doc md5 plus a winnowing-style fingerprint: min md5 over
-    5-word shingles (docs shorter than 5 words fall back to the doc md5)."""
+    5-word shingles. Docs shorter than 5 words are FILTERED OUT (no
+    fingerprint row — callers joining back to the corpus must left-join
+    and treat missing rows as unfingerprintable), matching the oracle."""
     docs = _docs(spark, sf_dir)
     words = F.split("text", " ")
     shingle_hashes = F.transform(
@@ -197,17 +199,18 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite keep/drop gate in the C4/Gopher mold: word-count bounds,
-    mean-word-length band, duplicate-3-gram ceiling. Emits per-rule flags
-    plus the final keep verdict so downstream can audit drop reasons —
-    all codegen, one narrow pass."""
-    docs = _docs(spark, sf_dir)
-    words = F.split("text", " ")
+def quality_gates(text_col):
+    """Shared C4/Gopher gate expressions over any text column: returns
+    (ok_word_count, ok_mean_word_len, ok_repetition, keep). The single
+    source of truth for the gate logic — quality_filter and webtext's
+    corpus_build_counts both build from here so thresholds cannot
+    diverge."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(t, " ")
     n_words = F.size(words)
-    mean_wl = F.length(F.regexp_replace("text", " ", "")).cast("double") / n_words
+    mean_wl = F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(n_words - 3, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
     )
     dup_frac = F.when(
@@ -217,12 +220,22 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_len = (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
     ok_wl = (mean_wl >= QF_MIN_MEAN_WORD_LEN) & (mean_wl <= QF_MAX_MEAN_WORD_LEN)
     ok_rep = dup_frac <= QF_MAX_DUP_3GRAM_FRACTION
+    return ok_len, ok_wl, ok_rep, ok_len & ok_wl & ok_rep
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop gate in the C4/Gopher mold: word-count bounds,
+    mean-word-length band, duplicate-3-gram ceiling. Emits per-rule flags
+    plus the final keep verdict so downstream can audit drop reasons —
+    all codegen, one narrow pass."""
+    docs = _docs(spark, sf_dir)
+    ok_len, ok_wl, ok_rep, _keep = quality_gates("text")
     return docs.select(
         "doc_id",
         ok_len.alias("ok_word_count"),
         ok_wl.alias("ok_mean_word_len"),
         ok_rep.alias("ok_repetition"),
-        (ok_len & ok_wl & ok_rep).alias("keep"),
+        _keep.alias("keep"),
     )
 
 

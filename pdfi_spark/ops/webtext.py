@@ -393,10 +393,7 @@ def corpus_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (count + conditional count-distinct), then a 3-row stack.
     At 10^12 docs the only shuffle is the distinct's partial-aggregate
     exchange."""
-    from .textstats import (
-        QF_MAX_DUP_3GRAM_FRACTION, QF_MAX_MEAN_WORD_LEN, QF_MAX_WORDS,
-        QF_MIN_MEAN_WORD_LEN, QF_MIN_WORDS,
-    )
+    from .textstats import quality_gates
 
     # the driver corpus is clean by construction, so the funnel DEGRADES
     # it deterministically first (mirrored in the oracle): every 13th doc
@@ -427,22 +424,7 @@ def corpus_build_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stripped = corpus.mapInPandas(run, schema="doc_id long, main_text string")
     t = F.col("main_text")
-    words = F.split(t, " ")
-    n_words = F.size(words)
-    mean_wl = F.length(F.regexp_replace(t, " ", "")).cast("double") / n_words
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_words - 3, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
-    )
-    dup_frac = F.when(
-        n_words >= 3,
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
-    ).otherwise(F.lit(0.0))
-    keep = (
-        (n_words >= QF_MIN_WORDS) & (n_words <= QF_MAX_WORDS)
-        & (mean_wl >= QF_MIN_MEAN_WORD_LEN) & (mean_wl <= QF_MAX_MEAN_WORD_LEN)
-        & (dup_frac <= QF_MAX_DUP_3GRAM_FRACTION)
-    )
+    _, _, _, keep = quality_gates(t)
     agg = stripped.agg(
         F.count("*").alias("ingested"),
         F.sum(keep.cast("long")).alias("quality_pass"),

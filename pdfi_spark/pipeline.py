@@ -131,7 +131,16 @@ def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
             times = []
             for url, payload in zip(batch["url"], batch["payload"]):
                 t0 = timer()
-                records.append(extract_record(url, bytes(payload)))
+                if payload is None:
+                    # containment starts at the cast (same contract as
+                    # strip_boilerplate): a NULL payload cell yields an
+                    # error row, never a task failure
+                    records.append({
+                        "url": url, "text": None, "n_pages": None,
+                        "n_chars": None, "error": "TypeError: null payload",
+                    })
+                else:
+                    records.append(extract_record(url, bytes(payload)))
                 times.append((timer() - t0) * 1000.0)
             out = pd.DataFrame.from_records(records, columns=out_columns)
             if with_timing:
@@ -202,6 +211,29 @@ def run_pipeline(spark: SparkSession, documents: DataFrame, output_dir: str,
 
     Returns a summary dict with totals and resume stats.
     """
+    # the per-wave partitionBy overwrite is only additive under DYNAMIC
+    # partition-overwrite; a vanilla session defaults to STATIC, which
+    # would wipe previously committed buckets (and the manifest) on wave
+    # 2 — pin it here and restore after, like streaming's timezone pin
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        return _run_pipeline_inner(
+            spark, documents, output_dir, run_id, n_buckets, wave_size,
+            payload_col,
+        )
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev_mode
+            )
+
+
+def _run_pipeline_inner(spark: SparkSession, documents: DataFrame,
+                        output_dir: str, run_id: str, n_buckets: int,
+                        wave_size: int | None, payload_col: str) -> dict:
     store = CheckpointStore(output_dir)
     done = store.committed_buckets()
     bucketed = with_bucket(documents, n_buckets=n_buckets)

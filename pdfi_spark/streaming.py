@@ -241,7 +241,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str,
     gap = tsec - F.lag(tsec).over(w)
     flagged = events.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0),
+        # half-open boundary (gap >= timeout starts a NEW session),
+        # matching the native session_window operator exactly
+        F.when(gap.isNull() | (gap >= gap_minutes * 60), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_seq", F.sum("new_session").over(

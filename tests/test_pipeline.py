@@ -122,3 +122,31 @@ def test_binaryfile_source_extracts(spark, tmp_path):
     extracted = extract_text(docs, payload_col="html")
     rows = {r["url"].rsplit("/", 1)[-1]: r["text"] for r in extracted.collect()}
     assert rows == expected
+
+
+def test_multiwave_survives_static_overwrite_session(spark, documents, tmp_path):
+    # a session NOT built by make_spark defaults to STATIC partition
+    # overwrite, under which wave 2's path overwrite would wipe wave 1's
+    # buckets; run_pipeline must pin dynamic itself (and restore after)
+    out = str(tmp_path / "static_mode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        summary = run_pipeline(spark, documents, out, n_buckets=4, wave_size=1)
+        assert summary["n_docs"] == documents.count()
+        assert read_extracted(spark, out).count() == documents.count()
+        assert len(CheckpointStore(out).committed_buckets()) == 4
+        # the caller's setting is restored, not clobbered
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode") == "static"
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+
+def test_null_payload_is_contained(spark):
+    df = spark.createDataFrame(
+        [("u1", None), ("u2", b"not a pdf")], "url string, html binary"
+    )
+    rows = {r["url"]: r for r in extract_text(df, payload_col="html").collect()}
+    assert rows["u1"]["error"] == "TypeError: null payload"
+    assert rows["u1"]["text"] is None
+    assert rows["u2"]["error"] is not None  # malformed, contained too

@@ -153,6 +153,16 @@ def test_materialized_folds_do_not_reexecute(spark):
     plan = _plan(ops.embedding_neardup_topk(spark, SF))
     assert "ExistingRDD" in plan
     assert plan.count("Exchange") == 1  # only the bucket self-join shuffle
+    # ngram_jaccard: the shingle fold is materialized once, so neither
+    # self-join side may recompute it (concat_ws marks the fold)
+    plan = _plan(ops.ngram_jaccard_pairs(spark, SF))
+    assert "ExistingRDD" in plan
+    assert "concat_ws" not in plan, "shingle fold re-executes"
+    # trained k-means: with per-iteration lineage cuts the final cell
+    # count reads the embeddings scan ONCE plus the checkpointed codebook
+    plan = _plan(ops.ivf_train_cells(spark, SF))
+    assert "ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_warc_extract_is_narrow_and_prunes_scan(spark):
