@@ -11,11 +11,14 @@ from .doc import PDFDocument
 from .encoding import decode_buffer
 
 
-def render_paper(doc: PDFDocument) -> dict:
+def render_paper(doc: PDFDocument, pages: list | None = None) -> dict:
     """Render all pages into {'sections': [{'title', 'paragraphs'}]}
-    (reference PDF.ts:175-181)."""
+    (reference PDF.ts:175-181). Pass ``pages`` when the caller already
+    walked the page tree (PDFDocument.pages re-walks it per access)."""
+    if pages is None:
+        pages = doc.pages
     paragraphs: list[dict] = []
-    for page in doc.pages:
+    for page in pages:
         paragraphs.extend(render_layout_from_page(page))
     return paper_from_paragraphs(paragraphs)
 
@@ -72,10 +75,7 @@ def extract_record(url: str, data: bytes) -> dict:
     try:
         doc = PDFDocument(data)
         pages = doc.pages
-        paragraphs: list[dict] = []
-        for page in pages:
-            paragraphs.extend(render_layout_from_page(page))
-        text = paper_to_string(paper_from_paragraphs(paragraphs))
+        text = paper_to_string(render_paper(doc, pages=pages))
         return {
             "url": url,
             "text": text,

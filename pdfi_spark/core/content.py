@@ -258,6 +258,10 @@ class DrawingContext:
         self.text_matrix = None
         self.text_line_matrix = None
         self.depth = depth
+        # font memo (used by TextAtomDrawingContext.showString); lives on
+        # the base so drawObject can invalidate it around resource swaps
+        self._memo_font_key: tuple[int, str] | None = None
+        self._memo_font = None
 
     @property
     def graphics_state(self) -> GraphicsState:
@@ -336,10 +340,14 @@ class DrawingContext:
             self.setCTM(*matrix)
         next_resources = xobject.resources or self.resources
         self.resources_stack.append(next_resources)
+        # the id()-keyed font memo could alias a recycled Resources
+        # object across pushes: invalidate at both swap points
+        self._memo_font_key = None
         self.depth += 1
         self.apply_content_stream(xobject.buffer)
         self.depth -= 1
         self.resources_stack.pop()
+        self._memo_font_key = None
         self.popGraphicsState()
 
     # -- general graphics state (stored only) ----------------------------------
@@ -589,19 +597,16 @@ class TextAtomDrawingContext(DrawingContext):
     def __init__(self, text_atoms: list, resources, depth: int = 0):
         super().__init__(resources, depth)
         self.text_atoms = text_atoms
-        # per-context memo: Tj runs share a font until the next Tf, so
-        # skip the Resources lookup on the (dominant) unchanged case;
-        # safe because each Do recursion gets its own context/resources
-        self._memo_font_name: str | None = None
-        self._memo_font = None
 
     def showString(self, buffer: bytes):
         font_name = self.graphics_state.text_state.font_name
-        if font_name == self._memo_font_name:
+        resources = self.resources
+        key = (id(resources), font_name)
+        if key == self._memo_font_key:
             font = self._memo_font
         else:
-            font = self.resources.get_font(font_name)
-            self._memo_font_name = font_name
+            font = resources.get_font(font_name)
+            self._memo_font_key = key
             self._memo_font = font
         if font is None:
             raise ValueError(f'Cannot find font "{font_name}" in Resources')

@@ -3,6 +3,16 @@
 Sources: PDF 32000-1:2008 Annex D (public spec), matching the role of the
 reference's encoding/glyphmaps.ts. Stored as dicts {code: glyphname};
 missing codes are unmapped (the reference uses sparse arrays).
+
+DOCUMENTED spec-over-reference exception: these tables are Annex-D
+COMPLETE, while the reference's glyphmaps.ts leaves holes —
+MacRomanEncoding there omits 16 symbol codes (173 notequal, 176
+infinity, 178/179 lessequal/greaterequal, 182-186 partialdiff..integral,
+189 Omega, 195 radical, 197 approxequal, 198 Delta, 202 space (nbsp),
+215 lozenge, 240 apple) and WinAnsiEncoding omits 173 hyphen (soft
+hyphen). For those codes the reference decodes nothing (skip) where we
+decode the Annex-D glyph; the generator recipes (e.g. recipe_macroman's
+code 202) and their oracles depend on the complete tables.
 """
 
 _ASCII_NAMES = {

@@ -109,6 +109,11 @@ class BitIterator:
         self.length = len(buffer) * 8
 
     def peek(self, n: int) -> int:
+        if self.offset + n > self.length:
+            # the reference's Buffer.readUIntBE throws RangeError here
+            # (truncated / EOD-less stream); a silent short slice would
+            # fabricate a code from the dropped low bytes instead
+            raise ValueError("LZW: bit read past end of data")
         start = self.offset // 8
         end = -(-(self.offset + n) // 8)  # ceil
         uint = int.from_bytes(self.buffer[start:end], "big")

@@ -67,7 +67,11 @@ class FontDescriptor:
     def get_weight(self) -> str | None:
         text = self._type1_font_program_cleartext()
         if text:
-            m = re.search(r"/Weight\s+\(([^\)]+)\)", text)
+            # JS-exact classes (CLAUDE.md fidelity traps): the program
+            # text is latin-1-decoded, where Python \s also matches
+            # \x1c-\x1f/\x85 and \w matches accented letters that V8's
+            # ASCII-only \s/\w do not
+            m = re.search(r"/Weight[ \t\n\r\f\v\xa0]+\(([^\)]+)\)", text)
             if m:
                 return m.group(1)
         return None
@@ -82,12 +86,13 @@ class FontDescriptor:
         section = text[start:] if start >= 0 else text
         glyphmap: dict[int, str] = {}
         m = re.search(
-            r"/Encoding\s+(StandardEncoding|MacRomanEncoding|WinAnsiEncoding|PDFDocEncoding)",
+            r"/Encoding[ \t\n\r\f\v\xa0]+"
+            r"(StandardEncoding|MacRomanEncoding|WinAnsiEncoding|PDFDocEncoding)",
             section,
         )
         if m:
             glyphmap.update(GLYPHMAPS.get(m.group(1), {}))
-        for dm in re.finditer(r"dup (\d+) /(\w+) put", section):
+        for dm in re.finditer(r"dup ([0-9]+) /([A-Za-z0-9_]+) put", section):
             glyphmap[int(dm.group(1))] = dm.group(2)
         return glyphmap
 
@@ -293,11 +298,16 @@ class Type1Font(Font):
         font_matrix = self.get("FontMatrix")
         multiplier = (font_matrix[0] / 0.001) if font_matrix else 1
         if widths is not None:
-            first_char = self.get("FirstChar") or 0
+            # NO default for a missing /FirstChar: the reference computes
+            # undefined + i = NaN, so every width collapses onto
+            # widthMapping[undefined] (last writer wins) and all mapped
+            # glyphs measure at the default (font/index.ts:389-394)
+            first_char = self.get("FirstChar")
             mapping = self.encoding["mapping"]
             self._width_mapping = {}
             for i, width in enumerate(widths):
-                s = mapping.get(first_char + i)
+                s = (mapping.get(first_char + i)
+                     if first_char is not None else None)
                 self._width_mapping[s] = width * multiplier
             fd = self.font_descriptor
             missing = fd.get("MissingWidth") if fd else None

@@ -129,10 +129,14 @@ def consume_string(buf: Buf) -> bytes:
             nxt = data[pos + 1] if pos + 1 < end else None
             if nxt is not None and 0x30 <= nxt <= 0x39 and pos + 3 < end \
                     and 0x30 <= data[pos + 2] <= 0x39 and 0x30 <= data[pos + 3] <= 0x39:
-                try:
-                    out.append(int(data[pos + 1:pos + 4], 8) & 0xFF)
-                except ValueError:
-                    out.append(0)
+                # JS parseInt(str, 8) semantics: parse the longest valid
+                # octal PREFIX of the three digits ('128' -> 0o12, '779'
+                # -> 0o77); a leading 8/9 parses to 0 (NaN | 0)
+                digits = data[pos + 1:pos + 4]
+                k = 0
+                while k < 3 and 0x30 <= digits[k] <= 0x37:
+                    k += 1
+                out.append((int(digits[:k], 8) & 0xFF) if k else 0)
                 pos += 4
             elif nxt == 0x6E:  # n
                 out.append(0x0A)

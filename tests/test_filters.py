@@ -94,3 +94,21 @@ def test_apply_filters_chain_and_unknown():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_lzw_truncated_stream_raises_contained_error():
+    # a stream cut mid-code (or missing its EOD) must raise — mirroring
+    # the reference's Buffer.readUIntBE RangeError — rather than
+    # fabricating a code from a short byte slice; read_pdf contains the
+    # raise as an error row upstream
+    import pytest as _pytest
+
+    from pdfi_spark.core.filters import BitIterator, lzw_decode
+
+    bits = BitIterator(b"\x80")
+    with _pytest.raises(ValueError):
+        bits.peek(9)
+    # 9 valid bits for one literal, then 7 dangling bits: the next code
+    # read crosses the end
+    with _pytest.raises(ValueError):
+        lzw_decode(b"\x80\x40")

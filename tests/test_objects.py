@@ -263,3 +263,20 @@ def test_page_mediabox_inherited_from_parent():
 
     own = Page(None, {"Type": "Page", "Parent": parent, "MediaBox": [0, 0, 100, 100]})
     assert own.media_box == [0, 0, 100, 100]
+
+
+def test_octal_escape_parseint_prefix_semantics():
+    # JS parseInt(s, 8) parses the longest valid octal PREFIX but the
+    # full 3-digit escape is consumed (reference consumers.ts:26-41,66-70):
+    # '128' -> 0o12, '779' -> 0o77, '899' -> NaN -> byte 0, '777' & 0xFF
+    from pdfi_spark.core.lexing import Buf
+    from pdfi_spark.core.objects import consume_string
+
+    def s(body):
+        return consume_string(Buf(body))
+
+    assert s(b"\\128)") == b"\x0a"
+    assert s(b"\\779)") == b"\x3f"
+    assert s(b"\\899)") == b"\x00"
+    assert s(b"\\777)") == b"\xff"
+    assert s(b"a\\053b)") == b"a+b"

@@ -128,3 +128,54 @@ def test_inline_image_data_consumed_and_ignored():
     assert ei["operands"][-1] == b" \x00\xff\x10( "
     texts = [op["operands"][0] for op in ops if op["operator"] == "Tj"]
     assert texts == [b"before", b"after"]
+
+
+def test_form_xobject_font_shadowing_resolves_per_resources():
+    # page /F1 and a Form XObject's own /F1 are DIFFERENT fonts; the
+    # interpreter must resolve against the active (pushed) resources on
+    # every show op — a name-only font memo decoded form text with the
+    # page's font (regression for the round-3 memo)
+    from pdfi_spark.core.content import TextAtomDrawingContext
+
+    class FakeFont:
+        def __init__(self, upper):
+            self.upper = upper
+
+        def measure(self, buffer):
+            return len(buffer) * 500
+
+        def decode_string(self, buffer, skip_missing=False):
+            text = buffer.decode("latin-1")
+            return text.upper() if self.upper else text
+
+    class FakeResources:
+        def __init__(self, fonts, xobjects=None):
+            self._fonts = fonts
+            self._xobjects = xobjects or {}
+
+        def get_font(self, name):
+            return self._fonts.get(name)
+
+        def get_xobject(self, name):
+            return self._xobjects.get(name)
+
+        def get_ext_gstate(self, name):
+            return None
+
+    class FakeForm:
+        subtype = "Form"
+
+        def __init__(self, resources, buffer):
+            self.resources = resources
+            self.buffer = buffer
+            self.dictionary = {}
+
+    form = FakeForm(FakeResources({"F1": FakeFont(upper=True)}),
+                    b"BT /F1 12 Tf (hi) Tj ET")
+    page_res = FakeResources({"F1": FakeFont(upper=False)}, {"X1": form})
+    atoms = []
+    ctx = TextAtomDrawingContext(atoms, page_res)
+    ctx.apply_content_stream(
+        b"BT /F1 12 Tf (hi) Tj ET /X1 Do BT /F1 12 Tf (hi) Tj ET"
+    )
+    assert [a["text"] for a in atoms] == ["hi", "HI", "hi"]
