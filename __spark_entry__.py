@@ -28,6 +28,21 @@ from pdfi_spark.pipeline import extract_text
 SF0001 = "/root/testdata/sf0.001"
 
 
+def _load_handmade() -> dict:
+    """tests/fixtures_handmade.HANDMADE, importable from the repo root
+    (single definition — the query and its oracle must load the SAME
+    fixture dict or the hash gate fails confusingly)."""
+    import os
+    import sys
+
+    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
+    if fixtures_dir not in sys.path:
+        sys.path.insert(0, fixtures_dir)
+    from fixtures_handmade import HANDMADE
+
+    return HANDMADE
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -36,8 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synthesize the Common-Crawl-style documents table (mixed
     PDF recipes), run the salted mapInPandas extraction, and return
     extracted rows where the output matched the golden text."""
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-    documents = build_documents(spark, SF0001, recipe="mixed")
+    # deliberate session pin (the driver collects lazily, so there is no
+    # safe restore point): 1024 is the measured sweet spot for the ~KB
+    # docs every gate query ships over Arrow (CLAUDE.md; 64 is only for
+    # multi-MB payload paths, which set their own)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+    # generated docs feed BOTH self-join sides below — materialize once
+    # (subtree-reuse rule) or every PDF builds twice
+    documents = build_documents(spark, SF0001, recipe="mixed") \
+        .localCheckpoint(eager=True)
     extracted = extract_text(documents, payload_col="html", n_partitions=8)
     golden = documents.select("url", F.col("text").alias("expected"))
     return (
@@ -150,15 +172,8 @@ def _extract_handmade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT pdfgen output) through the distributed extraction path: multi-
     trailer /Prev chain, mismatched-byteLength CMap, indirect /Length,
     multi-subsection xref. Expected strings are frozen constants."""
-    import os
-    import sys
-
-    fixtures_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
-    if fixtures_dir not in sys.path:
-        sys.path.insert(0, fixtures_dir)
-    from fixtures_handmade import HANDMADE
-
-    rows = [(name, pdf) for name, (pdf, _expected) in sorted(HANDMADE.items())]
+    rows = [(name, pdf)
+            for name, (pdf, _expected) in sorted(_load_handmade().items())]
     docs = spark.createDataFrame(rows, "url string, html binary")
     extracted = extract_text(docs, payload_col="html")
     return extracted.select(F.col("url").alias("fixture"), "text")
@@ -298,6 +313,13 @@ def _pipeline_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
     payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
+    # materialize the generated corpus once: run_pipeline's per-wave
+    # bucket filter sits above the generator UDF (bucket = hash(url), an
+    # output column), so streaming the plan in directly would regenerate
+    # every PDF per wave and again on resume (~3 full passes)
+    input_dir = tempfile.mkdtemp(prefix="pdfi_resume_in_")
+    payload.write.mode("overwrite").parquet(input_dir)
+    payload = spark.read.parquet(input_dir)
     out = tempfile.mkdtemp(prefix="pdfi_resume_q_")
     run_pipeline(spark, payload, out, n_buckets=4, wave_size=2)
     store = CheckpointStore(out)
@@ -720,17 +742,9 @@ def oracle_sql() -> dict[str, str]:
     def _sq(s: str) -> str:
         return s.replace("'", "''").replace(chr(10), "' || chr(10) || '")
 
-    import os
-    import sys
-
-    _fx_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests")
-    if _fx_dir not in sys.path:
-        sys.path.insert(0, _fx_dir)
-    from fixtures_handmade import HANDMADE
-
     out["extract_handmade"] = " UNION ALL ".join(
         f"SELECT '{name}' AS fixture, '{_sq(expected)}' AS text"
-        for name, (_pdf, expected) in sorted(HANDMADE.items())
+        for name, (_pdf, expected) in sorted(_load_handmade().items())
     )
     from pdfi_spark.core.pdfgen import INFO_AUTHOR
 

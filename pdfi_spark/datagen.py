@@ -36,7 +36,8 @@ def url_for(doc_id: int) -> str:
 
 def build_documents(spark: SparkSession, sf_dir: str, recipe: str = "flate",
                     per_block: int = ORACLE_PER_BLOCK,
-                    skew: bool = False, replicate: int = 1) -> DataFrame:
+                    skew: bool = False, replicate: int = 1,
+                    n_partitions: int | None = None) -> DataFrame:
     """documents.parquet(doc_id, text, lang, ...) -> input_hint table.
 
     recipe='mixed' rotates through MIXED_RECIPES by doc_id. With
@@ -55,6 +56,13 @@ def build_documents(spark: SparkSession, sf_dir: str, recipe: str = "flate",
             .withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
             .drop("rep")
         )
+
+    if n_partitions:
+        # fan out BEFORE generation: the shuffle moves small (doc_id,
+        # text) rows and the PDF build parallelizes across n_partitions
+        # tasks (repartitioning after would shuffle the generated blobs
+        # and leave generation bound by the source file count)
+        base = base.repartition(n_partitions)
 
     def generate(iterator):
         for batch in iterator:
@@ -108,6 +116,7 @@ def materialize_corpus(spark: SparkSession, sf_dir: str, out_path: str,
                        n_files: int = 32, replicate: int = 1) -> str:
     """Write the synthetic corpus once; bench runs then only measure
     scan+extract, not generation."""
-    df = build_documents(spark, sf_dir, recipe=recipe, skew=skew, replicate=replicate)
-    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    df = build_documents(spark, sf_dir, recipe=recipe, skew=skew,
+                         replicate=replicate, n_partitions=n_files)
+    df.write.mode("overwrite").parquet(out_path)
     return out_path

@@ -40,8 +40,10 @@ def main() -> int:
 
     spark = make_spark("pdfi-extract")
     if args.input_format == "binaryfile":
+        if args.payload_col != "html":
+            ap.error("--payload-col conflicts with --input-format "
+                     "binaryfile (that source always emits 'html')")
         documents = read_pdf_files(spark, args.input)
-        args.payload_col = "html"
     else:
         documents = spark.read.parquet(args.input)
     summary = run_pipeline(
@@ -55,4 +57,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())
