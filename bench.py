@@ -160,6 +160,15 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        # measurement basis, so cross-round comparisons know what they
+        # compare: op-query timings are best-of-2 interleaved passes
+        # (min) since round 3 — BENCH_r01/r02 ran each op query ONCE, so
+        # op-query deltas vs those rounds conflate real speedups with
+        # the basis change. extract/extract_prebucketed have been
+        # best-of-3/2 since round 1 (extract_trials lists the raws).
+        "basis": "min",
+        "trials": 2,
+        "trials_extract": 3,
         **extras,
     }
     spark.stop()

@@ -15,11 +15,14 @@ Format essentials implemented here:
   a WARC-Date; the page bytes live in the ``response`` record's payload
   after the HTTP response head (split at the first ``\\r\\n\\r\\n``).
 
-Parsing is containment-first: a malformed record (bad magic, missing
-Content-Length, truncated payload) ends the scan without raising —
-records recovered so far are returned. Content-Length framing (never
-delimiter scanning) makes payloads that themselves contain
-``WARC/1.0`` safe.
+Parsing is containment-first: a truncated payload or bad magic ends the
+scan without raising — records recovered so far are returned. A record
+with a missing/unparsable Content-Length is SKIPPED by resyncing to the
+next record magic (a real archive's later records must survive one bad
+one), and header-field names match case-insensitively per ISO 28500 §4
+(real-world writers emit ``content-length``/``WARC-TARGET-URI`` etc.).
+Content-Length framing (never delimiter scanning) makes payloads that
+themselves contain ``WARC/1.0`` safe.
 """
 from __future__ import annotations
 
@@ -29,6 +32,39 @@ import zlib
 
 _CRLF = b"\r\n"
 _MAGIC = b"WARC/1.0"
+
+
+class Headers(dict):
+    """WARC named fields with ISO 28500 §4 case-insensitive lookup.
+
+    Keys keep their on-the-wire casing (callers that iterate or display
+    see the archive's bytes); ``[]`` / ``get`` / ``in`` match any casing,
+    so ``headers["Content-Length"]`` finds ``content-length``. Records
+    carry ~6 fields, so the linear scan is cheaper than keeping a
+    parallel lowercased index in every record dict.
+    """
+
+    def _key(self, name: str) -> str | None:
+        if dict.__contains__(self, name):  # fast path: canonical casing
+            return name
+        low = name.lower()
+        for k in self:
+            if k.lower() == low:
+                return k
+        return None
+
+    def __getitem__(self, name: str):
+        k = self._key(name)
+        if k is None:
+            raise KeyError(name)
+        return dict.__getitem__(self, k)
+
+    def get(self, name: str, default=None):
+        k = self._key(name)
+        return default if k is None else dict.__getitem__(self, k)
+
+    def __contains__(self, name) -> bool:
+        return self._key(name) is not None
 
 
 def build_record(warc_type: str, headers: dict[str, str],
@@ -81,7 +117,7 @@ def parse_records(data: bytes) -> list[dict]:
         head_end = data.find(_CRLF * 2, pos)
         if not data.startswith(_MAGIC, pos) or head_end < 0:
             break
-        headers: dict[str, str] = {}
+        headers = Headers()
         for line in data[pos + len(_MAGIC):head_end].split(_CRLF):
             name, sep, value = line.partition(b":")
             if sep:
@@ -90,7 +126,14 @@ def parse_records(data: bytes) -> list[dict]:
         try:
             length = int(headers["Content-Length"])
         except (KeyError, ValueError):
-            break
+            # unframeable record: skip it by resyncing to the next magic
+            # (an early break here would silently drop every record after
+            # one bad one — fatal for a real multi-capture archive)
+            nxt = data.find(_CRLF + _MAGIC, head_end)
+            if nxt < 0:
+                break
+            pos = nxt + 2
+            continue
         body_start = head_end + 4
         if body_start + length > n:
             break  # truncated payload: keep what we have

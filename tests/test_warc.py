@@ -53,8 +53,42 @@ def test_truncation_and_garbage_contained():
     assert [r["type"] for r in parse_records(cut)] == ["request", "response"]
     assert parse_records(b"") == []
     assert parse_records(b"HTTP/1.1 200 OK\r\n\r\n") == []
-    # missing Content-Length ends the scan cleanly
+    # missing Content-Length on the only record: scan ends cleanly
     assert parse_records(b"WARC/1.0\r\nWARC-Type: x\r\n\r\n") == []
+
+
+def test_header_names_case_insensitive():
+    # ISO 28500 §4: field names are case-insensitive. A writer that emits
+    # lowercase/odd casing must still parse and frame correctly.
+    raw = (b"WARC/1.0\r\nwarc-type: response\r\n"
+           b"WARC-TARGET-URI: https://x/ci\r\n"
+           b"content-length: 3\r\n\r\nabc\r\n\r\n")
+    recs = parse_records(raw)
+    assert len(recs) == 1
+    assert recs[0]["type"] == "response"
+    assert recs[0]["payload"] == b"abc"
+    # canonical-case lookups hit the odd-cased fields
+    assert recs[0]["headers"]["Content-Length"] == "3"
+    assert recs[0]["headers"].get("WARC-Target-URI") == "https://x/ci"
+    assert "Warc-Type" in recs[0]["headers"]
+    assert recs[0]["headers"].get("No-Such-Field") is None
+    # on-the-wire casing is preserved for iteration/display
+    assert "warc-type" in list(recs[0]["headers"].keys())
+    # responses() goes through the same case-insensitive path
+    caps = responses(raw + build_record("metadata", {}, b"m"))
+    assert [c["url"] for c in caps] == ["https://x/ci"]
+
+
+def test_bad_content_length_skips_one_record_not_the_rest():
+    # one unframeable record (missing/garbage Content-Length) must not
+    # swallow the records after it: the scan resyncs on the next magic
+    bad = b"WARC/1.0\r\nWARC-Type: broken\r\nContent-Length: oops\r\n\r\n"
+    good = build_record("response", {"WARC-Target-URI": "u2"}, b"ok")
+    recs = parse_records(bad + good)
+    assert [r["type"] for r in recs] == ["response"]
+    assert recs[0]["payload"] == b"ok"
+    no_len = b"WARC/1.0\r\nWARC-Type: broken\r\n\r\n"
+    assert [r["type"] for r in parse_records(no_len + good)] == ["response"]
 
 
 def test_gzip_member_per_record_layout():
