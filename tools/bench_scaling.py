@@ -43,13 +43,25 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Declared salt-granularity protocol per corpus tier (slots multiplier for
+# the shuffle job's salted repartition). Every ledger trial is tagged with
+# the salt_slots it ran under, and best-of/median are computed WITHIN the
+# protocol config only (ADVICE r3: best-of across 4x and 8x trials would
+# compare heterogeneous job definitions). mixed = 8x, matching bench.py's
+# production extract granularity (measured ~25% faster than 4x for ~KB
+# docs at local[32]); heavy = 4x, the tier's ledger history — multi-page
+# ~8 KB docs are granularity-insensitive (measured), so recapturing that
+# ledger under 8x would cost hours for no signal.
+PROTOCOL_SALT = {"mixed": 8, "heavy": 4}
+
 
 class Worker:
-    def __init__(self, corpus: str, cpus: int, job: str = "shuffle"):
+    def __init__(self, corpus: str, cpus: int, job: str = "shuffle",
+                 salt_slots: int = 8):
         self.cpus = cpus
         self.proc = subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tools", "scaling_worker.py"),
-             corpus, str(cpus), job],
+             corpus, str(cpus), job, str(salt_slots)],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL, text=True, cwd=REPO, bufsize=1,
         )
@@ -94,6 +106,10 @@ def main() -> int:
                     help="mixed: 100k x 1.5KB PDFs; heavy: 5k x 29KB "
                          "multi-page PDFs (~29 ms/doc — the realistic "
                          "crawl-weight tier where per-doc work dominates)")
+    ap.add_argument("--report-only", action="store_true",
+                    help="skip running trials: re-aggregate the ledger "
+                         "(within the protocol salt config) and rewrite "
+                         "the scaling JSON + BASELINE.md tables")
     args = ap.parse_args()
 
     if args.style == "heavy" and args.replicate == 20:
@@ -101,7 +117,8 @@ def main() -> int:
     corpus = os.path.join(
         REPO, ".bench", f"corpus_sf0.1_{args.style}_x{args.replicate}"
     )
-    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")) \
+            and not args.report_only:
         from pdfi_spark.datagen import materialize_corpus
         from pdfi_spark.pipeline import make_spark
         spark = make_spark("scaling-gen", master="local[32]", shuffle_partitions=32)
@@ -110,10 +127,22 @@ def main() -> int:
         spark.stop()
 
     levels = [int(x) for x in args.levels.split(",")]
-    workers = {cpus: Worker(corpus, cpus, args.job) for cpus in levels}
-    for w in workers.values():
-        w.wait_ready()
-    n_docs = workers[levels[0]].n_docs
+    salt = PROTOCOL_SALT[args.style] if args.job == "shuffle" else None
+    job_sfx_early = "" if args.job == "shuffle" else f"_{args.job}"
+    if args.report_only:
+        workers = {}
+        # n_docs is per-level constant; recover it from the prior aggregate
+        with open(os.path.join(
+                REPO, ".bench",
+                f"scaling_{args.style}{job_sfx_early}.json")) as f:
+            prior = json.load(f)
+        n_docs = next(iter(prior["results"].values()))["n_docs"]
+    else:
+        workers = {cpus: Worker(corpus, cpus, args.job, salt or 8)
+                   for cpus in levels}
+        for w in workers.values():
+            w.wait_ready()
+        n_docs = workers[levels[0]].n_docs
 
     # accumulate across invocations: host noise comes in waves, so the
     # best-of basis improves as trials span more (and quieter) windows;
@@ -132,22 +161,36 @@ def main() -> int:
 
     trials: dict[int, list[float]] = {cpus: [] for cpus in levels}
     # round-robin: warm-up round (discarded) + measured rounds
-    for rnd in range(args.trials + 1):
+    for rnd in range(0 if args.report_only else args.trials + 1):
         for cpus in levels:
             t = workers[cpus].run_trial()
             if rnd > 0:
                 trials[cpus].append(round(t, 3))
                 with open(ledger, "a") as f:
-                    f.write(json.dumps({"cpus": cpus, "trials": [round(t, 3)]}) + "\n")
+                    f.write(json.dumps({"cpus": cpus,
+                                        "trials": [round(t, 3)],
+                                        "salt_slots": salt}) + "\n")
             print(f"round {rnd}{' (warm-up)' if rnd == 0 else ''}: "
                   f"local[{cpus}] {t:.2f}s", flush=True)
     for w in workers.values():
         w.close()
     all_trials: dict[int, list[float]] = {}
+    n_other_config = 0
     with open(ledger) as f:
         for line in f:
             row = json.loads(line)
+            # best-of is only meaningful within ONE job config: drop
+            # trials whose salt granularity differs from the tier's
+            # protocol (legacy 4x mixed trials stay in the ledger as
+            # history but never mix into the published figures)
+            if row.get("salt_slots") != salt:
+                n_other_config += 1
+                continue
             all_trials.setdefault(row["cpus"], []).extend(row["trials"])
+    if n_other_config:
+        print(f"(excluded {n_other_config} ledger trials from other salt "
+              f"configs; protocol for {args.style} is "
+              f"{salt}x)" if salt else "", flush=True)
     trials = all_trials
     levels = sorted(all_trials)  # report every level ever measured
 
@@ -171,7 +214,8 @@ def main() -> int:
         effs[f"{n}->{n4}"] = round(eff, 3)
         print(f"scaling efficiency {n} -> {n4} cores: {eff:.3f}")
 
-    out = {"results": {str(k): v for k, v in results.items()}, "efficiency": effs}
+    out = {"results": {str(k): v for k, v in results.items()},
+           "efficiency": effs, "salt_slots": salt}
     with open(os.path.join(REPO, ".bench",
                            f"scaling_{args.style}{job_sfx}.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -267,9 +311,7 @@ def _mixed_shuffle_eff() -> str:
 
 def update_baseline_md() -> None:
     lines = ["", "## Measured results (sandbox, 32-core local mode)", "",
-             "Same job (parquet scan -> salted repartition(k x slots; 4x in "
-             "rounds 1-2, 8x from round 3 matching bench.py's production "
-             "granularity — best-of per level spans both) -> "
+             "Same job (parquet scan -> salted repartition -> "
              "mapInPandas extraction -> noop sink) over the same materialized "
              "corpus per tier. One persistent JVM per level; trials "
              "interleaved round-robin across levels so host noise hits each "
@@ -283,7 +325,14 @@ def update_baseline_md() -> None:
              "the new code (the round-3 parser speedups re-captured levels "
              "2/4/32 first; a steady ~2-core co-tenant load taxes the 8/16 "
              "levels hardest, since a 2-4 core job still finds free cores "
-             "while an 8-16 core job contends)."]
+             "while an 8-16 core job contends). Every ledger trial is "
+             "tagged with the salted-repartition granularity it ran under "
+             "(salt_slots; mixed protocol = 8x slots matching bench.py's "
+             "production extract, heavy = 4x — the ~8 KB tier is "
+             "granularity-insensitive, measured), and best-of/median are "
+             "computed strictly WITHIN the protocol config: the mixed "
+             "tier's rounds-1-2 4x trials remain in the ledger as history "
+             "but are excluded from the published figures."]
     for style, job in (("mixed", "shuffle"), ("mixed", "direct"),
                        ("heavy", "shuffle"), ("heavy", "direct")):
         sfx = "" if job == "shuffle" else "_direct"
@@ -292,7 +341,10 @@ def update_baseline_md() -> None:
             continue
         with open(path) as f:
             data = json.load(f)
-        job_blurb = (", cold input + salted repartition" if job == "shuffle"
+        salt_slots = data.get("salt_slots")
+        job_blurb = (f", cold input + salted repartition "
+                     f"({salt_slots}x-slot protocol trials only)"
+                     if job == "shuffle"
                      else ", pre-bucketed input / no runtime shuffle (the "
                           "production-ingest layout: bucket-written by "
                           "xxhash64(url) once at ingest)")

@@ -22,12 +22,12 @@ def main() -> int:
     # 'direct'  = pre-bucketed input (production: the Iceberg table is
     # bucket-written by xxhash64(url) at ingest, so no runtime shuffle)
     job = sys.argv[3] if len(sys.argv) > 3 else "shuffle"
-    # salt granularity 8x slots, matching bench.py's production extract
-    # (CLAUDE.md: cpus*8 beats cpus*4 by ~25% on the mixed tier at high
-    # core counts — finer buckets smooth stragglers). Rounds 1-2 ledger
-    # trials ran 4x; best-of per level is taken across both, and both
-    # are the same job definition (salt = k x cluster slots).
-    n_partitions = cpus * 8 if job == "shuffle" else None
+    # salt granularity (slots multiplier) comes from the caller so the
+    # ledger can tag every trial with the exact job config it ran —
+    # best-of is only ever taken WITHIN one config (ADVICE r3: a best-of
+    # spanning 4x and 8x trials would compare heterogeneous jobs)
+    salt_slots = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    n_partitions = cpus * salt_slots if job == "shuffle" else None
     spark = make_spark(f"scale-{cpus}", master=f"local[{cpus}]",
                        shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
