@@ -515,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ending with the longest-established extract_* recipes (green in
     every round so far and smoke-covered by entry())."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    # -- group 0: new in round 4 --
+    out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
     # -- group 1: driver-unsampled in round 2 --
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
@@ -1204,6 +1206,40 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY ew.dst) s ON s.doc_id = d.doc_id)"
         )
     out["link_graph_pagerank"] = _pr + (
+        f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
+        f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
+    )
+    # dangling variant: sources with doc_id % 7 == 0 lose their outlinks
+    # (~14% of nodes dangle, modeling a crawl's unfetched frontier); each
+    # unrolled iterate adds the dangling-mass scalar dm/n, snapped to 12
+    # decimals like the ranks so the redistribution arithmetic is
+    # cross-engine exact (ops/webtext.py _pagerank_topk)
+    from pdfi_spark.ops.webtext import PAGERANK_DANGLING_MOD as _PR_MOD
+
+    _prd = _edges_cte + (
+        f", ewmf AS (SELECT * FROM edges WHERE src % {_PR_MOD} <> 0), "
+        "degd AS (SELECT src, count(*) AS deg FROM ewmf GROUP BY src), "
+        "ewd AS (SELECT e.src, e.dst, CAST(1.0 AS DOUBLE) / d.deg AS w "
+        "FROM ewmf e JOIN degd d USING (src)), "
+        "r0 AS (SELECT doc_id, "
+        "round(CAST(1.0 AS DOUBLE) / n.n_docs, 12) AS rank "
+        "FROM documents, n) "
+    )
+    for _i in range(1, _PR_K + 1):
+        _prd += (
+            f", dm{_i} AS (SELECT round(coalesce(sum(rank), 0), 12) AS dm "
+            f"FROM r{_i - 1} WHERE doc_id NOT IN "
+            f"(SELECT DISTINCT src FROM ewd)), "
+            f"r{_i} AS (SELECT d.doc_id, "
+            f"round(CAST({1.0 - _PR_D!r} AS DOUBLE) / n.n_docs + "
+            f"CAST({_PR_D!r} AS DOUBLE) * (coalesce(s.s, 0) + "
+            f"dm{_i}.dm / n.n_docs), 12) AS rank "
+            f"FROM documents d CROSS JOIN n CROSS JOIN dm{_i} LEFT JOIN "
+            f"(SELECT ewd.dst AS doc_id, sum(ewd.w * r{_i - 1}.rank) AS s "
+            f"FROM ewd JOIN r{_i - 1} ON r{_i - 1}.doc_id = ewd.src "
+            f"GROUP BY ewd.dst) s ON s.doc_id = d.doc_id)"
+        )
+    out["link_graph_pagerank_dangling"] = _prd + (
         f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
         f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
     )

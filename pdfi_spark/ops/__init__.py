@@ -26,6 +26,7 @@ from .webtext import (corpus_build_counts, html_block_stats,
                       html_content_spans,
                       html_main_content, html_outlinks,
                       link_graph_degrees, link_graph_pagerank,
+                      link_graph_pagerank_dangling,
                       read_warc_pages, strip_boilerplate, warc_extract)
 from .textstats import (
     corpus_stats,
@@ -52,6 +53,6 @@ __all__ = [
     "html_main_content", "html_block_stats", "strip_boilerplate",
     "html_outlinks", "html_content_spans", "corpus_build_counts",
     "link_graph_degrees",
-    "link_graph_pagerank",
+    "link_graph_pagerank", "link_graph_pagerank_dangling",
     "read_warc_pages", "warc_extract",
 ]

@@ -267,38 +267,46 @@ PAGERANK_ITERS = 3
 PAGERANK_TOPK = 20
 
 
-def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration PageRank over the extracted outlink graph —
+def _pagerank_topk(nodes: DataFrame, edges: DataFrame,
+                   n_docs: int) -> DataFrame:
+    """Fixed-iteration PageRank with dangling-mass redistribution —
     iterative distributed graph processing on the crawl's link structure
-    (hub scoring; the power-iteration sibling of ops/dedup.py's
-    connected components). Returns the top-k (doc_id, pagerank).
+    (the power-iteration sibling of ops/dedup.py's connected
+    components). Returns the top-k (doc_id, pagerank).
 
-    Determinism across engines: ranks are snapped to 12 decimals every
-    iteration (same trick as similarity.kmeans_codebook's float32 cast),
-    so double-precision accumulation-order differences (~1e-17) can
-    never reach the rounding grid and the unrolled DuckDB twin
-    reproduces every iterate exactly.
+    Dangling pages (no outlinks — a real crawl graph is ~10-30% of them:
+    frontier URLs not yet fetched, dead ends, binary assets) would leak
+    their rank mass every iteration under the naive update; the standard
+    fix redistributes their summed rank uniformly: rank' = (1-d)/n +
+    d*(contribs + dangling_mass/n). The mass is ONE scalar per
+    iteration, computed as an anti-join + aggregate into a 1-row frame
+    and broadcast back (BroadcastNestedLoopJoin of one row — never a
+    driver-side collect, never a cartesian over data).
+
+    Determinism across engines: ranks (and the dangling mass) are
+    snapped to 12 decimals every iteration (same trick as
+    similarity.kmeans_codebook's float32 cast), so double-precision
+    accumulation-order differences (~1e-16) can never reach the
+    rounding grid and the unrolled DuckDB twin reproduces every iterate
+    exactly.
 
     At 100 TB: edges are localCheckpoint'ed once (they feed every
     iteration), each iteration is one shuffle-join on src plus one
-    hash-aggregate on dst; production would co-partition edges and
-    ranks on src so only the rank side moves. Final top-k is
-    TakeOrderedAndProject, never a full sort. Every page links out by
-    construction (crawl pages with zero outlinks would need the
-    standard dangling-mass redistribution term, omitted here as the
-    generator never produces them)."""
-    nodes = _base(spark, sf_dir).select("doc_id")
-    n_docs = nodes.count()
-    edges = (
-        html_outlinks(spark, sf_dir, n_docs=n_docs)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    hash-aggregate on dst plus the 1-row mass aggregate; production
+    would co-partition edges and ranks on src so only the rank side
+    moves. Final top-k is TakeOrderedAndProject, never a full sort."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     # per-edge contribution weight 1/out-degree, precomputed once
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ew = (
         edges.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # dangling = nodes with no outgoing edge; computed once, reused
+    dangling = (
+        nodes.join(edges.select(F.col("src").alias("doc_id")).distinct(),
+                   "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
     base = F.lit((1.0 - PAGERANK_DAMPING) / n_docs)
@@ -311,14 +319,21 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
         )
+        dmass = (
+            ranks.join(dangling, "doc_id")
+            .agg(F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 12)
+                 .alias("dm"))
+        )
         ranks = (
             nodes.join(contribs, "doc_id", "left")
+            .crossJoin(F.broadcast(dmass))  # 1 row: the scalar mass
             .select(
                 "doc_id",
                 F.round(
                     base
                     + F.lit(PAGERANK_DAMPING)
-                    * F.coalesce(F.col("s"), F.lit(0.0)),
+                    * (F.coalesce(F.col("s"), F.lit(0.0))
+                       + F.col("dm") / F.lit(float(n_docs))),
                     12,
                 ).alias("rank"),
             )
@@ -329,6 +344,40 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "doc_id")
         .limit(PAGERANK_TOPK)
     )
+
+
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the full extracted outlink graph (every generated
+    page links out, so the dangling term contributes exactly zero here —
+    the code path still runs; link_graph_pagerank_dangling exercises it
+    with real mass)."""
+    nodes = _base(spark, sf_dir).select("doc_id")
+    n_docs = nodes.count()
+    edges = html_outlinks(spark, sf_dir, n_docs=n_docs)
+    return _pagerank_topk(nodes, edges, n_docs)
+
+
+# sources whose outlinks are masked to create dangling pages: every
+# doc_id divisible by 7 keeps its page but loses its outgoing edges,
+# modeling the unfetched-frontier/dead-end share of a real crawl graph
+PAGERANK_DANGLING_MOD = 7
+
+
+def link_graph_pagerank_dangling(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """PageRank on a graph WITH dangling pages: outlinks of every
+    doc_id % 7 == 0 source are dropped (~14% of nodes dangle, the
+    realistic crawl mix), so the per-iteration dangling-mass
+    redistribution carries real weight and the DuckDB twin pins its
+    exact arithmetic. Without the term, ~1/7 of the rank mass would
+    leak per iteration and every rank would come out low."""
+    nodes = _base(spark, sf_dir).select("doc_id")
+    n_docs = nodes.count()
+    edges = (
+        html_outlinks(spark, sf_dir, n_docs=n_docs)
+        .filter(F.col("src") % PAGERANK_DANGLING_MOD != 0)
+    )
+    return _pagerank_topk(nodes, edges, n_docs)
 
 
 def html_content_spans(spark: SparkSession, sf_dir: str) -> DataFrame:

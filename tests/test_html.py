@@ -285,3 +285,51 @@ def test_latin1_recipe_total_on_non_latin1_text():
     )
     assert "?" in expected  # euro sign replaced BEFORE the golden text
     assert extract_main_text(page) == expected
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """The dangling-mass redistribution term is the difference between a
+    probability distribution and a leak: with it, the rank vector sums
+    to 1 every iteration (up to the 12-decimal snap); without it, the
+    masked graph (~1/7 of sources dangle) would lose ~d/7 of its mass
+    per iteration. Asserting full-vector conservation pins the term's
+    presence and its scaling — a wrong denominator or a dropped
+    iteration both break the sum."""
+    from pyspark.sql import functions as F
+
+    from pdfi_spark.ops.webtext import (
+        PAGERANK_DANGLING_MOD,
+        _pagerank_topk,
+        html_outlinks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    nodes = docs.select("doc_id")
+    n_docs = nodes.count()
+    edges = html_outlinks(spark, sf, n_docs=n_docs).filter(
+        F.col("src") % PAGERANK_DANGLING_MOD != 0
+    )
+    # read ALL ranks, not just top-k: widen the limit to n_docs
+    import pdfi_spark.ops.webtext as wt
+
+    old_topk = wt.PAGERANK_TOPK
+    wt.PAGERANK_TOPK = n_docs
+    try:
+        all_ranks = _pagerank_topk(nodes, edges, n_docs)
+        total = all_ranks.agg(F.sum("pagerank")).collect()[0][0]
+    finally:
+        wt.PAGERANK_TOPK = old_topk
+    # 12-decimal snap per node accumulates at most n*5e-13 + the final
+    # 6-decimal display rounding (n*5e-7)
+    assert abs(total - 1.0) < n_docs * 1e-6 + 1e-3, total
+    # and the no-dangling graph conserves too (term contributes zero)
+    wt.PAGERANK_TOPK = n_docs
+    try:
+        full = _pagerank_topk(
+            nodes, html_outlinks(spark, sf, n_docs=n_docs), n_docs
+        )
+        total_full = full.agg(F.sum("pagerank")).collect()[0][0]
+    finally:
+        wt.PAGERANK_TOPK = old_topk
+    assert abs(total_full - 1.0) < n_docs * 1e-6 + 1e-3, total_full

@@ -186,6 +186,17 @@ def test_pagerank_topk_avoids_full_sort(spark):
     assert "Sort " not in plan
 
 
+def test_pagerank_dangling_mass_is_broadcast_not_cartesian(spark):
+    # the per-iteration dangling-mass scalar joins back as a BROADCAST
+    # of one row (BroadcastNestedLoopJoin), never a CartesianProduct
+    # over data and never a driver-side collect; final stage is still
+    # top-k without a global sort
+    plan = _plan(ops.link_graph_pagerank_dangling(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan
+    assert "Sort " not in plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The steady-state 100 TB layout claim, executed: two tables
     bucketed by the SAME key/count join with ZERO Exchange (each task
