@@ -517,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # -- group 0: new in round 4 --
     out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
+    out["minhash128_signatures"] = ops.minhash128_signatures
+    out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
     # -- group 1: driver-unsampled in round 2 --
     out["media_metadata"] = ops.media_metadata
     out["media_feature_summary"] = ops.media_feature_summary
@@ -604,6 +606,39 @@ def _minhash_sig_cte() -> str:
         "WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word "
         "FROM documents), "
         f"sig AS (SELECT doc_id, {hash_cols} FROM words GROUP BY doc_id)"
+    )
+
+
+from pdfi_spark.ops.dedup import (
+    MINHASH128_BANDS as _MH128_BANDS,
+    MINHASH128_P as _MH128_P,
+    MINHASH128_PERMS as _MH128_PERMS,
+    MINHASH128_ROWS as _MH128_ROWS,
+    _minhash128_params,
+)
+
+
+def _minhash128_cte() -> str:
+    """CTE chain ending in perms(doc_id, p0..p127): the 128-permutation
+    MinHash, in lockstep with ops.dedup._minhash128_sig — one md5 per
+    distinct word sliced into four 32-bit lanes, then the universal-hash
+    coefficients REGENERATED from the same seeded _minhash128_params()
+    so both engines fold identical (a*h+b) mod P arithmetic (exact in
+    signed 64-bit; see the op's docstring)."""
+    lane_cols = ", ".join(
+        f"('0x' || substr(hx, {off}, 8))::BIGINT AS l{j}"
+        for j, off in enumerate(MINHASH_LANE_OFFSETS)
+    )
+    perm_cols = ", ".join(
+        f"min(({a} * l{lane} + {b}) % {_MH128_P}) AS p{i}"
+        for i, (a, b, lane) in enumerate(_minhash128_params())
+    )
+    return (
+        "WITH words AS (SELECT DISTINCT doc_id, "
+        "unnest(string_split(text, ' ')) AS word FROM documents), "
+        "hashed AS (SELECT doc_id, md5(word) AS hx FROM words), "
+        f"lanes AS (SELECT doc_id, {lane_cols} FROM hashed), "
+        f"perms AS (SELECT doc_id, {perm_cols} FROM lanes GROUP BY doc_id)"
     )
 
 
@@ -866,6 +901,27 @@ def oracle_sql() -> dict[str, str]:
         "UNION ALL "
         "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket FROM sig) "
         "SELECT band, bucket, count(*) AS n_docs FROM bands GROUP BY band, bucket"
+    )
+    out["minhash128_signatures"] = (
+        _minhash128_cte()
+        + " SELECT doc_id, md5(concat_ws(',', "
+        + ", ".join(f"p{i}" for i in range(_MH128_PERMS))
+        + ")) AS sig_md5 FROM perms"
+    )
+    out["minhash128_lsh_buckets"] = (
+        _minhash128_cte()
+        + ", bands AS ("
+        + " UNION ALL ".join(
+            f"SELECT {b} AS band, md5(concat_ws(',', "
+            + ", ".join(
+                f"p{i}" for i in range(b * _MH128_ROWS,
+                                       (b + 1) * _MH128_ROWS)
+            )
+            + ")) AS bucket FROM perms"
+            for b in range(_MH128_BANDS)
+        )
+        + ") SELECT band, bucket, count(*) AS n_docs "
+          "FROM bands GROUP BY band, bucket"
     )
     out["simhash"] = _simhash_sql()
     from pdfi_spark.ops.dedup import (

@@ -106,6 +106,8 @@ def main() -> int:
         "dedup_exact": ops.dedup_exact,
         "minhash_signatures": ops.minhash_signatures,
         "minhash_lsh_buckets": ops.minhash_lsh_buckets,
+        "minhash128_signatures": ops.minhash128_signatures,
+        "minhash128_lsh_buckets": ops.minhash128_lsh_buckets,
         "simhash": ops.simhash,
         "ngram_jaccard": ops.ngram_jaccard_pairs,
         "cosine_topk": ops.cosine_topk,
@@ -127,6 +129,7 @@ def main() -> int:
         "html_block_stats": ops.html_block_stats,
         "link_graph_degrees": ops.link_graph_degrees,
         "link_graph_pagerank": ops.link_graph_pagerank,
+        "link_graph_pagerank_dangling": ops.link_graph_pagerank_dangling,
         "warc_extract": ops.warc_extract,
     }
     round1_set = {

@@ -17,6 +17,8 @@ components.
 """
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,6 +26,32 @@ MINHASH_PERMS = 4
 # hex-digit start offsets (1-based) of the four 32-bit lanes of one md5
 MINHASH_LANE_OFFSETS = [1 + 8 * i for i in range(MINHASH_PERMS)]
 SIMHASH_BITS = 32
+
+# --- production-scale MinHash: 128 permutations from the SAME one md5 ---
+# GPT-3/Gopher-style near-dup dedup runs ~128 permutations in ~9-16 bands
+# for usable precision/recall at a ~0.8 Jaccard bar; the 4-perm sketch
+# above is the didactic core. 16 bands x 8 rows puts the LSH s-curve
+# threshold at (1/16)^(1/8) ~= 0.71.
+MINHASH128_PERMS = 128
+MINHASH128_BANDS = 16
+MINHASH128_ROWS = 8
+MINHASH128_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def _minhash128_params() -> list[tuple[int, int, int]]:
+    """(a, b, lane) per permutation: universal-hash coefficients over
+    Z_P applied to one of the four 32-bit md5 lanes — still exactly ONE
+    md5 call per distinct word; the other 127 "hash functions" are two
+    integer ops each. a*h < P * 2^32 < 2^63, so the arithmetic is exact
+    in signed 64-bit on BOTH engines (no overflow; ANSI-safe).
+    Deterministic seed => the DuckDB twin regenerates identical
+    coefficients from this same function."""
+    rng = random.Random(0x5EED128)
+    return [
+        (rng.randrange(1, MINHASH128_P), rng.randrange(0, MINHASH128_P),
+         i % MINHASH_PERMS)
+        for i in range(MINHASH128_PERMS)
+    ]
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,6 +126,94 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes per band — near-duplicate candidates share a bucket."""
     return (
         _lsh_members(spark, sf_dir)
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _minhash128_sig(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig: array<long>[128]) — the 128-permutation signature as
+    a NARROW zero-exchange per-row fold, still ONE md5 per distinct word:
+    the nested transform materializes each word's digest once and slices
+    it into the four 32-bit base lanes; the fold then runs all 128
+    universal-hash lanes ((a*h+b) mod P over the lane picked per
+    permutation) as a zip_with against a LITERAL params array (built once
+    at plan time). Per word that is 1 hash + ~384 integer ops — the hash
+    stays the dominant CPU term, so 32x more permutations than
+    minhash_signatures costs far less than 32x. The signature never
+    leaves the row (no explode shuffle: the same 10^15-row-exchange
+    argument as minhash_signatures); the fold output is projected in a
+    SEPARATE select, which Catalyst keeps separate because
+    CollapseProject refuses to duplicate non-cheap producer
+    expressions. Single-evaluation is asserted in tests/test_plans.py."""
+    words = F.array_distinct(F.split("text", " "))
+    lanes = F.transform(
+        F.transform(words, F.md5),
+        lambda hx: F.array(*[
+            F.conv(hx.substr(off, 8), 16, 10).cast("long")
+            for off in MINHASH_LANE_OFFSETS
+        ]),
+    )
+    params = F.array(*[
+        F.struct(
+            F.lit(a).cast("long").alias("a"),
+            F.lit(b).cast("long").alias("b"),
+            F.lit(lane + 1).alias("li"),
+        )
+        for a, b, lane in _minhash128_params()
+    ])
+    init = F.array_repeat(
+        F.lit(MINHASH128_P).cast("long"), MINHASH128_PERMS
+    )
+    mins = F.aggregate(
+        lanes,
+        init,
+        lambda acc, lv: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(
+                m,
+                (p["a"] * F.element_at(lv, p["li"]) + p["b"])
+                % F.lit(MINHASH128_P).cast("long"),
+            ),
+        ),
+    )
+    return docs.select("doc_id", mins.alias("sig"))
+
+
+def minhash128_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest view of the 128-perm signature: (doc_id, sig_md5) where
+    sig_md5 = md5 of the comma-joined lane minima — 2 columns instead of
+    128, but the value hash still pins every lane bit-for-bit against
+    the DuckDB twin."""
+    sig = _minhash128_sig(_docs(spark, sf_dir))
+    joined = F.concat_ws(
+        ",", F.transform("sig", lambda x: x.cast("string"))
+    )
+    return sig.select("doc_id", F.md5(joined).alias("sig_md5"))
+
+
+def minhash128_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding of the 128-perm signature: 16 bands x 8 rows, bucket
+    key = md5 of the band's comma-joined lanes. One groupBy shuffle on
+    (band, bucket) — the banding explode multiplies rows 16x but each
+    row is ~50 bytes, and at 10^12 docs the exchange is keyed and
+    combiner-friendly (map-side partial counts)."""
+    sig = _minhash128_sig(_docs(spark, sf_dir))
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice("sig", b * MINHASH128_ROWS + 1, MINHASH128_ROWS),
+                lambda x: x.cast("string"),
+            ))).alias("bucket"),
+        )
+        for b in range(MINHASH128_BANDS)
+    ])
+    return (
+        sig.select("doc_id", F.explode(bands).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
         .groupBy("band", "bucket")
         .agg(F.count("*").alias("n_docs"))
     )

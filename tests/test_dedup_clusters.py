@@ -33,3 +33,38 @@ def test_two_components_and_keeper_flags(spark):
         for r in labels.where(F.col("cluster_id") == F.col("doc_id")).collect()
     }
     assert keepers == {1, 2, 3, 5}
+
+
+def test_minhash128_sketch_behavior(spark):
+    """Sketch-quality sanity for the production-scale 128-perm MinHash:
+    identical docs collide on every band, a 1-word-in-50 edit (Jaccard
+    ~0.96, above the 16x8 s-curve threshold ~0.71) still shares
+    bucket(s), and disjoint-vocabulary docs share none."""
+    from pdfi_spark.ops.dedup import (
+        MINHASH128_BANDS,
+        MINHASH128_PERMS,
+        _minhash128_sig,
+    )
+
+    base = " ".join(f"w{i}" for i in range(50))
+    near = " ".join(("CHANGED" if i == 17 else f"w{i}") for i in range(50))
+    far = " ".join(f"z{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sig = {r["doc_id"]: r["sig"] for r in _minhash128_sig(docs).collect()}
+    assert all(len(s) == MINHASH128_PERMS for s in sig.values())
+    assert sig[0] == sig[1]  # identical text -> identical signature
+    agree_near = sum(a == b for a, b in zip(sig[0], sig[2]))
+    agree_far = sum(a == b for a, b in zip(sig[0], sig[3]))
+    # E[agree] = J * 128: ~125 for the near pair, ~0 for disjoint vocab
+    assert agree_near > 100, agree_near
+    assert agree_far < 10, agree_far
+
+    def bands(s):
+        return {
+            tuple(s[b * 8:(b + 1) * 8]) for b in range(MINHASH128_BANDS)
+        }
+
+    assert bands(sig[0]) & bands(sig[2])  # near-dup: candidate pair
+    assert not (bands(sig[0]) & bands(sig[3]))  # unrelated: no collision

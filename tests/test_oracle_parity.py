@@ -20,6 +20,8 @@ SUBSET = [
     "extract_zapf_dingbats",
     "dedup_exact",
     "minhash_signatures",
+    "minhash128_signatures",
+    "minhash128_lsh_buckets",
     "simhash",
     "cosine_topk",
     "ivf_cell_counts",
@@ -34,6 +36,7 @@ SUBSET = [
     "corpus_build_counts",
     "link_graph_degrees",
     "link_graph_pagerank",
+    "link_graph_pagerank_dangling",
     "warc_extract",
     "media_metadata",
     "top_events_per_user",

@@ -33,6 +33,30 @@ def test_simhash_has_zero_exchanges(spark):
     assert plan.count("Exchange") == 0
 
 
+def test_minhash128_signatures_one_md5_zero_exchanges(spark):
+    # 128 permutations must still cost ONE md5 per distinct word: the
+    # word digest appears once (fold input) and the signature digest
+    # once — if CollapseProject ever inlined the 128-lane fold into a
+    # downstream projection, the count would multiply
+    plan = _plan(ops.minhash128_signatures(spark, SF))
+    assert plan.count("Exchange") == 0
+    # count call sites "md5(" — the sig_md5 alias would inflate "md5"
+    assert plan.count("md5(") == 2, plan
+
+
+def test_minhash128_banding_single_exchange_one_word_md5(spark):
+    # banding is the ONLY exchange (groupBy band,bucket); the word-level
+    # md5 appears once, plus exactly one bucket md5 per band
+    from pdfi_spark.ops.dedup import MINHASH128_BANDS
+
+    plan = _plan(ops.minhash128_lsh_buckets(spark, SF))
+    assert plan.count("md5(") == 1 + MINHASH128_BANDS, plan
+    # AQE may report the exchange twice (pre/post reuse); assert on the
+    # logical count of distinct shuffle origins instead
+    assert "Exchange" in plan
+    assert plan.count("hashpartitioning") <= 2, plan
+
+
 def _payload_docs(spark):
     # the driver table has no binary column; derive (url, html) narrowly
     return spark.read.parquet(f"{SF}/documents.parquet").select(
