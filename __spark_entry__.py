@@ -509,66 +509,22 @@ def _session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so a prefix-sampling gate covers everything that most
-    needs driver evidence first: (1) the 13 queries the r2 gate did not
-    sample (all green in tools/check_oracles.py), (2) operators that are
-    new or whose implementation changed this round, (3) the remainder,
-    ending with the longest-established extract_* recipes (green in
-    every round so far and smoke-covered by entry())."""
+    needs driver evidence first: (1) operators new or changed in round 4,
+    (2) the 37 queries the r03 gate's 50-row prefix did not reach (all
+    green in r01/r02 driver rows and in tools/check_oracles.py — this
+    ordering puts every query lacking RECENT driver evidence inside one
+    round's sample), (3) the remainder, all driver-green in r03."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- group 0: new in round 4 --
+    # -- group 1: new or changed in round 4 --
     out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
     out["minhash128_signatures"] = ops.minhash128_signatures
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
-    # -- group 1: driver-unsampled in round 2 --
-    out["media_metadata"] = ops.media_metadata
-    out["media_feature_summary"] = ops.media_feature_summary
-    out["media_resize"] = ops.media_resize
-    out["extract_streaming"] = _extract_streaming_query
-    out["windowed_event_counts"] = _windowed_events_query
-    out["sessionize_events"] = _sessionize_query
-    out["session_window_events"] = _session_window_query
-    out["streaming_dedup_state"] = _streaming_dedup_state_query
-    out["corpus_stats"] = ops.corpus_stats
-    out["length_percentiles"] = ops.length_percentiles
-    out["repetition_scores"] = ops.repetition_scores
-    out["quality_filter"] = ops.quality_filter
-    out["stratified_sample"] = ops.stratified_sample
-    out["layout_lines_window"] = _layout_lines_window_query
-    # -- group 2: new or changed in round 3 --
-    from pdfi_spark.ops.webtext import HTML_ORACLE_RECIPES
-
-    for recipe in HTML_ORACLE_RECIPES:
-        out[f"html_{recipe}"] = ops.html_main_content(recipe)
-    out["html_block_stats"] = ops.html_block_stats
-    out["html_content_spans"] = ops.html_content_spans
-    out["corpus_build_counts"] = ops.corpus_build_counts
-    out["html_outlinks"] = ops.html_outlinks
-    out["link_graph_degrees"] = ops.link_graph_degrees
+    # changed: dangling-mass term now live in the shared pagerank body;
+    # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
     out["warc_extract"] = ops.warc_extract
     out["warc_streaming"] = _warc_streaming_query
-    out["html_streaming"] = _html_streaming_query
-    out["ivf_train_cells"] = ops.ivf_train_cells
-    out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
-    out["pipeline_resume_counts"] = _pipeline_resume_query
-    out["minhash_signatures"] = ops.minhash_signatures
-    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
-    out["simhash"] = ops.simhash
-    out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
-    out["pii_scrub"] = ops.pii_scrub
-    out["asof_join_events"] = ops.asof_join_events
-    out["range_join_counts"] = ops.range_join_counts
-    out["json_props_stats"] = ops.json_props_stats
-    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
-    out["dedup_clusters"] = ops.dedup_clusters
-    # -- group 3: stable since earlier rounds --
-    out["nation_revenue_topk"] = ops.nation_revenue_topk
-    out["top_events_per_user"] = ops.top_events_per_user
-    out["dedup_exact"] = ops.dedup_exact
-    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
-    out["cosine_topk"] = ops.cosine_topk
-    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
-    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    # -- group 2: not driver-sampled since round 2 --
     out["ivf_cell_counts"] = ops.ivf_cell_counts
     out["ivf_topk"] = ops.ivf_topk
     out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
@@ -586,6 +542,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["xref_count"] = _xref_count_query
     out["extract_meta"] = _extract_meta_query
     out["extract_errors"] = _extract_errors_query
+    for recipe in (
+        "simple", "positioning", "tj_kerning", "flate", "asciihex",
+        "ascii85", "lzw", "filter_chain", "xref_stream", "type0_cmap",
+        "differences", "xobject", "multipage", "multistream",
+        "multicolumn_oracle", "sections_oracle", "core14_nowidths",
+        "astral_cmap", "glyphnames", "macroman",
+    ):
+        out[f"extract_{recipe}"] = _extract_query(recipe)
+    # -- group 3: driver-green in round 3 --
+    out["minhash_signatures"] = ops.minhash_signatures
+    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
+    out["dedup_clusters"] = ops.dedup_clusters
+    out["link_graph_degrees"] = ops.link_graph_degrees
+    out["html_outlinks"] = ops.html_outlinks
+    out["media_metadata"] = ops.media_metadata
+    out["media_feature_summary"] = ops.media_feature_summary
+    out["media_resize"] = ops.media_resize
+    out["extract_streaming"] = _extract_streaming_query
+    out["windowed_event_counts"] = _windowed_events_query
+    out["sessionize_events"] = _sessionize_query
+    out["session_window_events"] = _session_window_query
+    out["streaming_dedup_state"] = _streaming_dedup_state_query
+    out["corpus_stats"] = ops.corpus_stats
+    out["length_percentiles"] = ops.length_percentiles
+    out["repetition_scores"] = ops.repetition_scores
+    out["quality_filter"] = ops.quality_filter
+    out["stratified_sample"] = ops.stratified_sample
+    out["layout_lines_window"] = _layout_lines_window_query
+    from pdfi_spark.ops.webtext import HTML_ORACLE_RECIPES
+
+    for recipe in HTML_ORACLE_RECIPES:
+        out[f"html_{recipe}"] = ops.html_main_content(recipe)
+    out["html_block_stats"] = ops.html_block_stats
+    out["html_content_spans"] = ops.html_content_spans
+    out["corpus_build_counts"] = ops.corpus_build_counts
+    out["html_streaming"] = _html_streaming_query
+    out["ivf_train_cells"] = ops.ivf_train_cells
+    out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
+    out["pipeline_resume_counts"] = _pipeline_resume_query
+    out["simhash"] = ops.simhash
+    out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
+    out["pii_scrub"] = ops.pii_scrub
+    out["asof_join_events"] = ops.asof_join_events
+    out["range_join_counts"] = ops.range_join_counts
+    out["json_props_stats"] = ops.json_props_stats
+    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
+    out["nation_revenue_topk"] = ops.nation_revenue_topk
+    out["top_events_per_user"] = ops.top_events_per_user
+    out["dedup_exact"] = ops.dedup_exact
+    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
+    out["cosine_topk"] = ops.cosine_topk
+    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
+    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
