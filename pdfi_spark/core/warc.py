@@ -15,14 +15,16 @@ Format essentials implemented here:
   a WARC-Date; the page bytes live in the ``response`` record's payload
   after the HTTP response head (split at the first ``\\r\\n\\r\\n``).
 
-Parsing is containment-first: a truncated payload or bad magic ends the
-scan without raising — records recovered so far are returned. A record
-with a missing/unparsable Content-Length is SKIPPED by resyncing to the
-next record magic (a real archive's later records must survive one bad
-one), and header-field names match case-insensitively per ISO 28500 §4
-(real-world writers emit ``content-length``/``WARC-TARGET-URI`` etc.).
+Parsing is containment-first and resync-capable: a truncated payload
+ends the scan without raising (records recovered so far are returned);
+leading garbage or a record with a missing/unparsable Content-Length is
+skipped by resyncing to the next record magic (a real archive's later
+records must survive junk and one bad record); header-field names match
+case-insensitively per ISO 28500 §4 (real-world writers emit
+``content-length``/``WARC-TARGET-URI`` etc.). For well-formed records,
 Content-Length framing (never delimiter scanning) makes payloads that
-themselves contain ``WARC/1.0`` safe.
+themselves contain ``WARC/1.0`` safe — resync scanning only runs once
+framing is already lost.
 """
 from __future__ import annotations
 
@@ -114,8 +116,17 @@ def parse_records(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n:
             break
+        if not data.startswith(_MAGIC, pos):
+            # not at a record boundary (leading junk, or we lost framing):
+            # resync to the next magic — a real archive's records must
+            # survive preceding garbage
+            nxt = data.find(_MAGIC, pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
         head_end = data.find(_CRLF * 2, pos)
-        if not data.startswith(_MAGIC, pos) or head_end < 0:
+        if head_end < 0:
             break
         headers = Headers()
         for line in data[pos + len(_MAGIC):head_end].split(_CRLF):

@@ -131,3 +131,26 @@ def test_random_texts_planted_links_recovered(words, doc_id):
     )
     cites = [l for l in parse_links(page) if l["href"].startswith("/doc/")]
     assert [int(l["href"][5:]) for l in cites] == targets
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=400), st.binary(max_size=200))
+def test_warc_resync_recovers_good_records_after_garbage(garbage, payload):
+    """A well-formed record must survive arbitrary leading garbage —
+    either the scan stops cleanly (no magic in the garbage) or it
+    resyncs and still yields the good record; it must NEVER raise and
+    NEVER yield a malformed record."""
+    from pdfi_spark.core.warc import build_record, parse_records
+
+    good = build_record("response", {"WARC-Target-URI": "u"}, payload)
+    recs = parse_records(garbage + b"\r\n" + good)
+    for r in recs:
+        assert r["type"] in ("response", "") or isinstance(r["type"], str)
+        assert isinstance(r["payload"], bytes)
+    # the good record is recovered whenever the garbage contains no
+    # spurious record magic to derail framing before it
+    if b"WARC/1.0" not in garbage:
+        assert any(
+            r["payload"] == payload and r["type"] == "response"
+            for r in recs
+        ), recs
