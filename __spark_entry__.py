@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
     out["minhash128_signatures"] = ops.minhash128_signatures
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
+    out["dedup_clusters_128"] = ops.dedup_clusters_128
     # changed: dangling-mass term now live in the shared pagerank body;
     # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -873,12 +874,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from pdfi_spark.ops.dedup import JACCARD_THRESHOLD, MAX_LSH_BUCKET
 
-    out["dedup_clusters"] = (
-        _minhash_sig_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-        + ", members0 AS ("
-        "SELECT 1 AS band, h1::VARCHAR || ':' || h2::VARCHAR AS bucket, doc_id FROM sig "
-        "UNION ALL "
-        "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket, doc_id FROM sig), "
+    # members0(band, bucket, doc_id) -> capped buckets -> candidate pairs
+    # -> shingle-Jaccard verify -> recursive-CTE connected components;
+    # shared by the 4-perm and 128-perm dedup pipelines (only the
+    # candidate generator — members0 — differs, mirroring
+    # ops/dedup._dedup_clusters_from)
+    _dedup_tail = (
         "members AS (SELECT band, bucket, doc_id FROM members0 "
         "QUALIFY count(*) OVER (PARTITION BY band, bucket) <= "
         f"{MAX_LSH_BUCKET}), "
@@ -902,6 +903,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node) "
         "SELECT src AS doc_id, min(node) AS cluster_id, "
         "(min(node) = src) AS is_keeper FROM reach GROUP BY src"
+    )
+    out["dedup_clusters"] = (
+        _minhash_sig_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", members0 AS ("
+        "SELECT 1 AS band, h1::VARCHAR || ':' || h2::VARCHAR AS bucket, doc_id FROM sig "
+        "UNION ALL "
+        "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket, doc_id FROM sig), "
+        + _dedup_tail
+    )
+    out["dedup_clusters_128"] = (
+        _minhash128_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + ", members0 AS ("
+        + " UNION ALL ".join(
+            f"SELECT {b} AS band, md5(concat_ws(',', "
+            + ", ".join(
+                f"p{i}" for i in range(b * _MH128_ROWS,
+                                       (b + 1) * _MH128_ROWS)
+            )
+            + ")) AS bucket, doc_id FROM perms"
+            for b in range(_MH128_BANDS)
+        )
+        + "), "
+        + _dedup_tail
     )
     out["minhash_lsh_buckets"] = (
         _minhash_sig_cte()

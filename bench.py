@@ -122,6 +122,7 @@ def main() -> int:
         "media_metadata": ops.media_metadata,
         "media_features": ops.media_features,
         "dedup_clusters": ops.dedup_clusters,
+        "dedup_clusters_128": ops.dedup_clusters_128,
         "embedding_neardup_topk": ops.embedding_neardup_topk,
         "ivf_train_cells": ops.ivf_train_cells,
         "nation_revenue_topk": ops.nation_revenue_topk,

@@ -193,14 +193,10 @@ def minhash128_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", F.md5(joined).alias("sig_md5"))
 
 
-def minhash128_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding of the 128-perm signature: 16 bands x 8 rows, bucket
-    key = md5 of the band's comma-joined lanes. One groupBy shuffle on
-    (band, bucket) — the banding explode multiplies rows 16x but each
-    row is ~50 bytes, and at 10^12 docs the exchange is keyed and
-    combiner-friendly (map-side partial counts)."""
-    sig = _minhash128_sig(_docs(spark, sf_dir))
-    bands = F.array(*[
+def _minhash128_bands():
+    """Literal 16-struct array expression over column ``sig``: per band,
+    (band, bucket=md5 of the band's comma-joined 8 lanes)."""
+    return F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(",", F.transform(
@@ -210,8 +206,30 @@ def minhash128_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(MINHASH128_BANDS)
     ])
+
+
+def _lsh128_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(band, bucket, doc_id) membership rows of the 128-perm sketch.
+    The signature is localCheckpoint'ed before banding for the same
+    subtree-reuse reason as _lsh_members: downstream self-joins would
+    otherwise re-run the 128-lane fold per join side."""
+    sig = _minhash128_sig(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     return (
-        sig.select("doc_id", F.explode(bands).alias("bb"))
+        sig.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+
+
+def minhash128_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding of the 128-perm signature: 16 bands x 8 rows, bucket
+    key = md5 of the band's comma-joined lanes. One groupBy shuffle on
+    (band, bucket) — the banding explode multiplies rows 16x but each
+    row is ~50 bytes, and at 10^12 docs the exchange is keyed and
+    combiner-friendly (map-side partial counts)."""
+    sig = _minhash128_sig(_docs(spark, sf_dir))
+    return (
+        sig.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
         .groupBy("band", "bucket")
@@ -361,9 +379,16 @@ def candidate_pairs(spark: SparkSession, sf_dir: str,
     ``max_bucket`` are dropped first (see MAX_LSH_BUCKET — this is an
     explicit coverage cap, mirrored in the DuckDB oracle, not a silent
     one); residual moderate-bucket skew is AQE skew-join territory."""
+    return _pairs_from_members(_lsh_members(spark, sf_dir), max_bucket)
+
+
+def _pairs_from_members(members: DataFrame,
+                        max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
+    """(band, bucket, doc_id) membership rows -> distinct candidate
+    pairs, with oversized buckets capped first (see candidate_pairs)."""
     from pyspark.sql import Window
 
-    members = _lsh_members(spark, sf_dir).withColumn(
+    members = members.withColumn(
         "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
     ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
     a = members.alias("a")
@@ -490,8 +515,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every doc gets a cluster_id (= smallest doc_id in its near-dup
     component; singletons map to themselves) and is_keeper marks the one
     row per cluster a pipeline would retain."""
+    return _dedup_clusters_from(spark, sf_dir,
+                                candidate_pairs(spark, sf_dir))
+
+
+def dedup_clusters_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup path fed by the PRODUCTION 128-permutation
+    sketch: 16-band LSH candidates (s-curve ~0.71) -> the same capped
+    buckets, Jaccard verification, and large-star/small-star connected
+    components as dedup_clusters. Same output contract; only the
+    candidate generator differs — this is the configuration a
+    GPT-3/Gopher-style pipeline would actually run, with the 4-perm
+    variant kept as the didactic/regression twin."""
+    return _dedup_clusters_from(
+        spark, sf_dir, _pairs_from_members(_lsh128_members(spark, sf_dir))
+    )
+
+
+def _dedup_clusters_from(spark: SparkSession, sf_dir: str,
+                         pairs: DataFrame) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    pairs = candidate_pairs(spark, sf_dir)
     # subtree-reuse rule (CLAUDE.md): the shingle fold feeds BOTH join
     # sides and the verified pairs feed BOTH union branches — without
     # materialization the scan+fold runs 4x and the pair join + Jaccard

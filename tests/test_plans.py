@@ -123,6 +123,23 @@ def test_pii_scrub_is_a_narrow_map(spark):
     assert plan.count("Exchange") == 0
 
 
+def test_dedup_clusters_128_candidates_keyed_not_cartesian(spark):
+    # the production-sketch dedup pipeline's candidate stage (the final
+    # dedup_clusters_128 plan is post-CC-checkpoint and shows only the
+    # label projection, so pin the stage that could degenerate): the
+    # 16-band join is keyed on (band, bucket), and the 128-lane fold is
+    # checkpointed so the ONLY md5s on the join sides are the 16
+    # band-key digests per side's shared source — never the per-word
+    # fold (which would show as nested transform/aggregate md5s)
+    from pdfi_spark.ops.dedup import _lsh128_members, _pairs_from_members
+
+    plan = _plan(_pairs_from_members(_lsh128_members(spark, SF)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed signature
+    assert "aggregate(" not in plan, "128-lane fold re-executes past checkpoint"
+
+
 def test_simhash_neardup_pairs_is_keyed_not_cartesian(spark):
     # the candidate join must be keyed on (band, key) — any refactor that
     # degenerates to an all-pairs product shows up as a nested-loop join
