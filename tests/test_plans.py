@@ -271,3 +271,54 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketdemo.docs_a")
         spark.sql("DROP TABLE IF EXISTS bucketdemo.docs_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdemo")
+
+
+def test_pagerank_iteration_over_bucketed_edges_moves_only_ranks(spark):
+    """The docstring claim in _pagerank_topk — "production would
+    co-partition edges and ranks on src so only the rank side moves" —
+    executed: with the edge-weight table bucket-written by src (the
+    one-time ingest layout), a power-iteration join shuffles ONLY the
+    rank side; the 10^12-edge side is read in place with zero Exchange
+    above its scan."""
+    from pdfi_spark.ops.webtext import html_outlinks
+
+    nodes = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    n_docs = nodes.count()
+    edges = html_outlinks(spark, SF, n_docs=n_docs)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ew = edges.join(deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS prdemo")
+    try:
+        (ew.write.mode("overwrite").bucketBy(8, "src").sortBy("src")
+         .saveAsTable("prdemo.edge_weights"))
+        ewb = spark.table("prdemo.edge_weights")
+        ranks = nodes.select(
+            F.col("doc_id").alias("src"),
+            F.lit(1.0 / n_docs).alias("rank"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            contribs = (
+                ewb.join(ranks, "src")
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.sum(F.col("w") * F.col("rank")).alias("s"))
+            )
+            plan = _plan(contribs)
+            assert "SortMergeJoin" in plan, plan
+            # exchanges: the rank side into the join + the groupBy(dst);
+            # the bucketed edge side contributes NONE
+            ew_scan = [ln for ln in plan.splitlines()
+                       if "Scan" in ln and "edge_weights" in ln]
+            assert ew_scan, plan
+            assert "Bucketed: true" in ew_scan[0], ew_scan[0]
+            # walk up from the edge scan: no Exchange between it and the
+            # join — equivalently, total Exchanges == 2 (ranks + agg)
+            assert plan.count("Exchange") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS prdemo.edge_weights")
+        spark.sql("DROP DATABASE IF EXISTS prdemo")
