@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash128_signatures"] = ops.minhash128_signatures
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
     out["dedup_clusters_128"] = ops.dedup_clusters_128
+    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
     # changed: dangling-mass term now live in the shared pagerank body;
     # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -912,9 +913,8 @@ def oracle_sql() -> dict[str, str]:
         "SELECT 2 AS band, h3::VARCHAR || ':' || h4::VARCHAR AS bucket, doc_id FROM sig), "
         + _dedup_tail
     )
-    out["dedup_clusters_128"] = (
-        _minhash128_cte().replace("WITH ", "WITH RECURSIVE ", 1)
-        + ", members0 AS ("
+    _mh128_members0 = (
+        ", members0 AS ("
         + " UNION ALL ".join(
             f"SELECT {b} AS band, md5(concat_ws(',', "
             + ", ".join(
@@ -925,6 +925,38 @@ def oracle_sql() -> dict[str, str]:
             for b in range(_MH128_BANDS)
         )
         + "), "
+    )
+    # a flat list literal, not a 128-term "+" chain — DuckDB's binder
+    # recurses per "+" and caps at depth 128
+    _agree = (
+        "len(list_filter(["
+        + ", ".join(f"sa.p{i} = sb.p{i}" for i in range(_MH128_PERMS))
+        + "], x -> x))"
+    )
+    out["minhash128_jaccard_estimates"] = (
+        _minhash128_cte()
+        + _mh128_members0
+        + "members AS (SELECT band, bucket, doc_id FROM members0 "
+        "QUALIFY count(*) OVER (PARTITION BY band, bucket) <= "
+        f"{MAX_LSH_BUCKET}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM members a JOIN members b USING (band, bucket) "
+        "WHERE a.doc_id < b.doc_id), "
+        "ws AS (SELECT doc_id, "
+        "list_distinct(string_split(text, ' ')) AS w FROM documents) "
+        "SELECT p.doc_a, p.doc_b, "
+        f"round({_agree}::DOUBLE / {_MH128_PERMS}, 6) AS est_jaccard, "
+        "round(len(list_intersect(wa.w, wb.w))::DOUBLE / "
+        "len(list_distinct(list_concat(wa.w, wb.w))), 6) AS true_jaccard "
+        "FROM pairs p "
+        "JOIN perms sa ON sa.doc_id = p.doc_a "
+        "JOIN perms sb ON sb.doc_id = p.doc_b "
+        "JOIN ws wa ON wa.doc_id = p.doc_a "
+        "JOIN ws wb ON wb.doc_id = p.doc_b"
+    )
+    out["dedup_clusters_128"] = (
+        _minhash128_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _mh128_members0
         + _dedup_tail
     )
     out["minhash_lsh_buckets"] = (

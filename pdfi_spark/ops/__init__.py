@@ -6,7 +6,7 @@ the explicitly Arrow-batched multimodal decode stubs. Each operator has
 an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
 from .dedup import (dedup_clusters, dedup_clusters_128, dedup_exact,
-                    minhash128_lsh_buckets,
+                    minhash128_jaccard_estimates, minhash128_lsh_buckets,
                     minhash128_signatures, minhash_lsh_buckets,
                     minhash_signatures, ngram_jaccard_pairs, simhash,
                     simhash_neardup_pairs)
@@ -48,7 +48,8 @@ from .textstats import (
 __all__ = [
     "dedup_exact", "dedup_clusters", "dedup_clusters_128",
     "minhash_signatures", "minhash_lsh_buckets",
-    "minhash128_signatures", "minhash128_lsh_buckets", "simhash",
+    "minhash128_signatures", "minhash128_lsh_buckets",
+    "minhash128_jaccard_estimates", "simhash",
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",

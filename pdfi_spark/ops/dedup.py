@@ -237,6 +237,54 @@ def minhash128_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash128_jaccard_estimates(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The estimator the sketch exists for: for every 16-band candidate
+    pair, the MinHash Jaccard estimate (fraction of agreeing lanes,
+    E[est] = J) next to the TRUE word-set Jaccard — the per-pair error
+    a production pipeline monitors when tuning bands/rows. Signature
+    agreement is a zip_with+filter over the two checkpointed 128-lane
+    arrays (never a re-fold); true Jaccard is array_intersect/union on
+    distinct word sets. Everything downstream of the capped candidate
+    join is narrow."""
+    sig = _minhash128_sig(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    members = (
+        sig.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
+    pairs = _pairs_from_members(members)
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
+    ).localCheckpoint(eager=True)
+    est = (
+        pairs
+        .join(sig.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sig").alias("sig_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b")), "doc_b")
+        .join(words.select(F.col("doc_id").alias("doc_a"),
+                           F.col("ws").alias("ws_a")), "doc_a")
+        .join(words.select(F.col("doc_id").alias("doc_b"),
+                           F.col("ws").alias("ws_b")), "doc_b")
+    )
+    agree = F.size(F.filter(
+        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+        lambda x: x,
+    ))
+    return est.select(
+        "doc_a",
+        "doc_b",
+        F.round(agree.cast("double") / F.lit(float(MINHASH128_PERMS)), 6)
+        .alias("est_jaccard"),
+        F.round(
+            F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+            / F.size(F.array_union("ws_a", "ws_b")),
+            6,
+        ).alias("true_jaccard"),
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash with word-frequency weights, computed as a NARROW
     per-row fold: hash each word once (transform), accumulate the 32

@@ -1,6 +1,6 @@
 """Fast in-suite replica of the driver's correctness gate: a
 representative subset of __spark_entry__ queries vs their DuckDB oracles
-at sf0.001 (the full 91-query sweep at sf0.01 lives in
+at sf0.001 (the full 92-query sweep at sf0.01 lives in
 tools/check_oracles.py, ~4 min). Comparison is the same
 order-insensitive sorted-column value hash the driver uses."""
 import hashlib
@@ -23,6 +23,7 @@ SUBSET = [
     "minhash128_signatures",
     "minhash128_lsh_buckets",
     "dedup_clusters_128",
+    "minhash128_jaccard_estimates",
     "simhash",
     "cosine_topk",
     "ivf_cell_counts",
