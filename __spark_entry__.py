@@ -521,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
     out["dedup_clusters_128"] = ops.dedup_clusters_128
     out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
+    out["url_canonicalize"] = ops.url_canonicalize
+    out["url_dedup_counts"] = ops.url_dedup_counts
     # changed: dangling-mass term now live in the shared pagerank body;
     # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -1363,6 +1365,53 @@ def oracle_sql() -> dict[str, str]:
     out["link_graph_pagerank_dangling"] = _prd + (
         f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
         f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
+    )
+    # URL canonicalization: the raw messy URL is planted closed-form in
+    # doc_id (ops/webtext._raw_url_expr), so the oracle rebuilds the
+    # identical strings and applies the same rule chain (DuckDB
+    # regexp_replace needs the explicit 'g' flag where Spark's
+    # replaces-all semantics are relied on — only the dup-slash rule)
+    _raw_url_sql = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' "
+        "ELSE 'example.com' END || "
+        "CASE WHEN doc_id % 4 = 0 THEN ':80' "
+        "WHEN doc_id % 4 = 1 THEN ':8080' "
+        "WHEN doc_id % 4 = 3 THEN ':443' ELSE '' END || "
+        "CASE WHEN doc_id % 5 = 0 THEN '//Doc//' ELSE '/Doc/' END || "
+        "(doc_id % 50)::VARCHAR || "
+        "CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1' ELSE '?a=1&b=2' END || "
+        "CASE WHEN doc_id % 7 = 0 THEN '&utm_source=feed' ELSE '' END || "
+        "CASE WHEN doc_id % 3 = 0 THEN '#Section-2' ELSE '' END)"
+    )
+    _canon_cte = (
+        f"WITH raw AS (SELECT doc_id, {_raw_url_sql} AS raw_url "
+        "FROM documents), "
+        "c0 AS (SELECT doc_id, raw_url, "
+        "regexp_replace(raw_url, '#.*$', '') AS u FROM raw), "
+        "c1 AS (SELECT doc_id, raw_url, "
+        "lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) || "
+        "regexp_replace(u, '^[^:/?#]+://[^/?#]*', '') AS u FROM c0), "
+        "c2 AS (SELECT doc_id, raw_url, regexp_replace(regexp_replace(u, "
+        "'^(http://[^/?#:]+):80([/?]|$)', '\\1\\2'), "
+        "'^(https://[^/?#:]+):443([/?]|$)', '\\1\\2') AS u FROM c1), "
+        "c3 AS (SELECT doc_id, raw_url, "
+        "regexp_replace(u, '([^:/])/{2,}', '\\1/', 'g') AS u FROM c2), "
+        "c4 AS (SELECT doc_id, raw_url, u, "
+        "array_to_string(list_sort(list_filter(string_split("
+        "regexp_extract(u, '\\?([^#]*)', 1), '&'), "
+        "p -> NOT starts_with(p, 'utm_'))), '&') AS sq, "
+        "regexp_replace(u, '\\?.*$', '') AS base FROM c3), "
+        "canon AS (SELECT doc_id, raw_url, "
+        "CASE WHEN sq = '' THEN base ELSE base || '?' || sq END "
+        "AS canon_url FROM c4)"
+    )
+    out["url_canonicalize"] = (
+        _canon_cte + " SELECT doc_id, raw_url, canon_url FROM canon"
+    )
+    out["url_dedup_counts"] = (
+        _canon_cte + " SELECT canon_url, count(*) AS n_docs, "
+        "min(doc_id) AS keep_id FROM canon GROUP BY canon_url"
     )
     # span census: boilerplate spans are probe-derived skeleton constants,
     # the content span is the text column — fully closed-form both sides

@@ -132,6 +132,9 @@ def main() -> int:
         "link_graph_pagerank": ops.link_graph_pagerank,
         "link_graph_pagerank_dangling": ops.link_graph_pagerank_dangling,
         "warc_extract": ops.warc_extract,
+        "url_canonicalize": ops.url_canonicalize,
+        "url_dedup_counts": ops.url_dedup_counts,
+        "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -29,7 +29,8 @@ from .webtext import (corpus_build_counts, html_block_stats,
                       html_main_content, html_outlinks,
                       link_graph_degrees, link_graph_pagerank,
                       link_graph_pagerank_dangling,
-                      read_warc_pages, strip_boilerplate, warc_extract)
+                      read_warc_pages, strip_boilerplate,
+                      url_canonicalize, url_dedup_counts, warc_extract)
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -59,5 +60,6 @@ __all__ = [
     "html_outlinks", "html_content_spans", "corpus_build_counts",
     "link_graph_degrees",
     "link_graph_pagerank", "link_graph_pagerank_dangling",
-    "read_warc_pages", "warc_extract",
+    "read_warc_pages", "url_canonicalize", "url_dedup_counts",
+    "warc_extract",
 ]

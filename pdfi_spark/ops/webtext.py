@@ -153,6 +153,94 @@ def html_outlinks(spark: SparkSession, sf_dir: str,
     return base.mapInPandas(run, schema="src long, dst long, link_rank int")
 
 
+def canonical_url(u):
+    """Crawl URL canonicalization as a pure codegen expression chain —
+    the dedup key every crawl pipeline computes before anything else
+    (the same capture is fetched as HTTP/https, with/without default
+    port, fragment, tracking params, query-param order, duplicate
+    slashes). Rules, in order:
+
+    1. drop the fragment;
+    2. lowercase scheme://authority (path/query stay case-sensitive);
+    3. strip default ports (:80 for http, :443 for https);
+    4. collapse duplicate slashes outside the ``://`` separator;
+    5. re-sort query params lexicographically and drop ``utm_*``
+       tracking params (empty query drops the ``?``).
+
+    Deliberately NOT done: www-stripping and percent-decoding (both
+    change the authority/resource identity for some sites; a production
+    pipeline makes those policy flags). All string ops are built-in JVM
+    functions — zero Python, fully whole-stage-codegen'd, so at 10^12
+    rows this is a free narrow map."""
+    u = F.regexp_replace(u, "#.*$", "")
+    head = F.lower(F.regexp_extract(u, "^([^:/?#]+://[^/?#]*)", 1))
+    u = F.concat(head, F.regexp_replace(u, "^[^:/?#]+://[^/?#]*", ""))
+    u = F.regexp_replace(u, "^(http://[^/?#:]+):80([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]+):443([/?]|$)", "$1$2")
+    u = F.regexp_replace(u, "([^:/])/{2,}", "$1/")
+    qs = F.regexp_extract(u, "\\?([^#]*)", 1)
+    kept = F.filter(F.split(qs, "&"),
+                    lambda p: ~p.startswith("utm_"))
+    sorted_qs = F.array_join(F.array_sort(kept), "&")
+    base = F.regexp_replace(u, "\\?.*$", "")
+    return F.when(sorted_qs == "", base).otherwise(
+        F.concat(base, F.lit("?"), sorted_qs)
+    )
+
+
+def _raw_url_expr():
+    """Deterministically messy raw URL per doc_id — every variant class
+    canonical_url must fold (case, default/explicit port, dup slashes,
+    unsorted+tracking query, fragment), planted so the DuckDB twin
+    reconstructs the identical strings closed-form. Path segment is
+    doc_id % 50, so url_dedup_counts collapses real groups."""
+    d = F.col("doc_id")
+    scheme = F.when(d % 2 == 0, F.lit("HTTP://")).otherwise(
+        F.lit("https://"))
+    host = F.when(d % 3 == 0, F.lit("WWW.Example.COM")).otherwise(
+        F.lit("example.com"))
+    port = (
+        F.when(d % 4 == 0, F.lit(":80"))      # even -> http, default
+        .when(d % 4 == 1, F.lit(":8080"))     # odd -> https, non-default
+        .when(d % 4 == 3, F.lit(":443"))      # odd -> https, default
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.when(d % 5 == 0, F.lit("//Doc//")).otherwise(F.lit("/Doc/")),
+        (d % 50).cast("string"),
+    )
+    query = F.concat(
+        F.when(d % 2 == 0, F.lit("?b=2&a=1")).otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 7 == 0, F.lit("&utm_source=feed")).otherwise(F.lit("")),
+    )
+    frag = F.when(d % 3 == 0, F.lit("#Section-2")).otherwise(F.lit(""))
+    return F.concat(scheme, host, port, path, query, frag)
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw_url, canon_url): the canonicalizer over the planted
+    messy-URL corpus. Narrow zero-exchange codegen map; scan pruned to
+    doc_id only."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        _raw_url_expr().alias("raw_url"),
+    ).select(
+        "doc_id", "raw_url", canonical_url(F.col("raw_url")).alias("canon_url")
+    )
+
+
+def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup-by-canonical-URL: one hash-aggregate shuffle keyed on
+    the canonical form (map-side partials; the 10^12-row version of
+    "which captures are the same resource")."""
+    return (
+        url_canonicalize(spark, sf_dir)
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
 def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree census over the extracted link graph: one hash-aggregate
     shuffle on dst (map-side partials first). The classic first pass of

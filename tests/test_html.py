@@ -333,3 +333,36 @@ def test_pagerank_dangling_mass_conserved(spark):
     finally:
         wt.PAGERANK_TOPK = old_topk
     assert abs(total_full - 1.0) < n_docs * 1e-6 + 1e-3, total_full
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule pinned on a hand-built case, plus the
+    deliberate non-rules (path case kept, non-default port kept,
+    www NOT stripped, percent-encoding untouched)."""
+    from pdfi_spark.ops.webtext import canonical_url
+
+    cases = {
+        # fragment + case + default port + dup slashes + query sort + utm
+        "HTTP://WWW.Ex.COM:80//A//b?b=2&a=1&utm_x=9#f":
+            "http://www.ex.com/A/b?a=1&b=2",
+        "https://Host.Net:443/P?z=1": "https://host.net/P?z=1",
+        # non-default port and path case survive
+        "https://h.io:8080/CaseKept": "https://h.io:8080/CaseKept",
+        # query dropped entirely when only tracking params remain
+        "http://h.io/p?utm_a=1&utm_b=2": "http://h.io/p",
+        # no query/fragment: unchanged but lowercased authority
+        "HTTPS://H.IO/x%7Ey": "https://h.io/x%7Ey",
+        # :80 on https is NOT default -> kept; :443 on http kept
+        "https://h.io:80/p": "https://h.io:80/p",
+        "http://h.io:443/p": "http://h.io:443/p",
+    }
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(r,) for r in cases], "raw string")
+    got = {
+        r["raw"]: r["canon"]
+        for r in df.select("raw",
+                           canonical_url(F.col("raw")).alias("canon"))
+        .collect()
+    }
+    assert got == cases

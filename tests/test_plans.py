@@ -322,3 +322,17 @@ def test_pagerank_iteration_over_bucketed_edges_moves_only_ranks(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS prdemo.edge_weights")
         spark.sql("DROP DATABASE IF EXISTS prdemo")
+
+
+def test_url_ops_are_codegen_narrow_and_one_shuffle(spark):
+    # canonicalization is a pure built-in-function chain: zero Exchange,
+    # zero Python (no mapInPandas/BatchEvalPython), scan pruned to
+    # doc_id; the dedup count adds exactly one keyed hash-aggregate
+    plan = _plan(ops.url_canonicalize(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert "Python" not in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0], plan
+    plan = _plan(ops.url_dedup_counts(spark, SF))
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
