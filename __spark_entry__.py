@@ -523,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
     out["url_canonicalize"] = ops.url_canonicalize
     out["url_dedup_counts"] = ops.url_dedup_counts
+    out["lang_balance_sample"] = ops.lang_balance_sample
     # changed: dangling-mass term now live in the shared pagerank body;
     # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -1180,6 +1181,19 @@ def oracle_sql() -> dict[str, str]:
         f"CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % {SAMPLE_MOD} = 0 "
         "THEN 1 ELSE 0 END AS kept FROM documents) "
         "SELECT lang, count(*) AS n_docs, sum(kept)::BIGINT AS n_sampled FROM s GROUP BY lang"
+    )
+    from pdfi_spark.ops.textstats import LANG_SAMPLE_K
+
+    # temperature-scaled language rebalancing: same hash-threshold rule
+    # (sqrt and double division are correctly-rounded IEEE in both
+    # engines, so the selected doc set is identical bit-for-bit)
+    out["lang_balance_sample"] = (
+        "WITH fr AS (SELECT lang, "
+        f"least(1.0, {LANG_SAMPLE_K!r} / sqrt(count(*))) AS keep_frac "
+        "FROM documents GROUP BY lang) "
+        "SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang) "
+        "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT "
+        f"/ {float(1 << 32)!r} < fr.keep_frac"
     )
     out["ivf_cell_counts"] = (
         _ivf_assigned_cte()

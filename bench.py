@@ -135,6 +135,7 @@ def main() -> int:
         "url_canonicalize": ops.url_canonicalize,
         "url_dedup_counts": ops.url_dedup_counts,
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
+        "lang_balance_sample": ops.lang_balance_sample,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

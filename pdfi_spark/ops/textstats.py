@@ -259,6 +259,49 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# temperature-scaled language rebalancing (alpha = 0.5): keep
+# probability K/sqrt(n_lang) per doc gives an expected per-language
+# sample ∝ n_lang^0.5 — the Gopher/LLaMA-style data-mix flattening that
+# up-weights low-resource languages relative to raw proportions
+LANG_SAMPLE_K = 3.0
+
+
+def lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) language rebalancing, built
+    scale-correct: per-language keep FRACTIONS are one tiny aggregate
+    broadcast back, and selection is a narrow deterministic
+    hash-threshold filter (u(doc) < K/sqrt(n_lang), u = first 32 md5
+    bits / 2^32). No per-language window/rank — a row_number quota
+    would shuffle 10^12 rows into one partition per language; the
+    threshold form touches each row once, is exactly reproducible under
+    reruns/resumes, and its quota error is O(sqrt(sample)).
+    Cross-engine determinism: sqrt and double division are
+    correctly-rounded IEEE ops, so the DuckDB twin selects the
+    identical doc set (boundary equality has measure zero)."""
+    docs = _docs(spark, sf_dir)
+    fracs = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_lang"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1.0), F.lit(LANG_SAMPLE_K) / F.sqrt(F.col("n_lang"))
+            ).alias("keep_frac"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        docs.join(F.broadcast(fracs), "lang")
+        .filter(u < F.col("keep_frac"))
+        .select("doc_id", "lang")
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
 

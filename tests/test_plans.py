@@ -336,3 +336,14 @@ def test_url_ops_are_codegen_narrow_and_one_shuffle(spark):
     plan = _plan(ops.url_dedup_counts(spark, SF))
     assert plan.count("Exchange") == 1, plan
     assert "HashAggregate" in plan
+
+
+def test_lang_balance_sample_is_broadcast_filter_no_window(spark):
+    # temperature rebalancing must be the scale-correct shape: the tiny
+    # per-language fraction table broadcast back onto a narrow filter —
+    # never a per-language window/rank (one partition per language at
+    # 10^12 rows)
+    plan = _plan(ops.lang_balance_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
