@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["url_canonicalize"] = ops.url_canonicalize
     out["url_dedup_counts"] = ops.url_dedup_counts
     out["lang_balance_sample"] = ops.lang_balance_sample
+    out["wet_export"] = ops.wet_export
     # changed: dangling-mass term now live in the shared pagerank body;
     # WARC header lookup went case-insensitive with record resync
     out["link_graph_pagerank"] = ops.link_graph_pagerank
@@ -1291,6 +1292,14 @@ def oracle_sql() -> dict[str, str]:
         "text AS main_text, 3::INTEGER AS n_records FROM documents"
     )
     out["warc_streaming"] = "SELECT doc_id, text AS main_text FROM documents"
+    # WET roundtrip: the conversion record's payload must come back as
+    # the exact source text with its UTF-8 octet length
+    out["wet_export"] = (
+        "SELECT doc_id, 'https://example.org/page/' || doc_id AS url, "
+        "text AS wet_text, "
+        "octet_length(encode(text))::INTEGER AS n_payload_bytes "
+        "FROM documents"
+    )
     out["html_block_stats"] = (
         f"SELECT doc_id, (1 + {BOILER_N_BOILER_BLOCKS})::INTEGER AS n_blocks, "
         "1::INTEGER AS n_content_blocks, "

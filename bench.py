@@ -132,6 +132,7 @@ def main() -> int:
         "link_graph_pagerank": ops.link_graph_pagerank,
         "link_graph_pagerank_dangling": ops.link_graph_pagerank_dangling,
         "warc_extract": ops.warc_extract,
+        "wet_export": ops.wet_export,
         "url_canonicalize": ops.url_canonicalize,
         "url_dedup_counts": ops.url_dedup_counts,
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,

@@ -30,7 +30,8 @@ from .webtext import (corpus_build_counts, html_block_stats,
                       link_graph_degrees, link_graph_pagerank,
                       link_graph_pagerank_dangling,
                       read_warc_pages, strip_boilerplate,
-                      url_canonicalize, url_dedup_counts, warc_extract)
+                      url_canonicalize, url_dedup_counts, warc_extract,
+                      wet_export)
 from .textstats import (
     corpus_stats,
     decontaminate,
@@ -62,5 +63,5 @@ __all__ = [
     "link_graph_degrees",
     "link_graph_pagerank", "link_graph_pagerank_dangling",
     "read_warc_pages", "url_canonicalize", "url_dedup_counts",
-    "warc_extract",
+    "warc_extract", "wet_export",
 ]

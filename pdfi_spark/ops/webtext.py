@@ -350,6 +350,64 @@ def warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export — Common Crawl's extracted-text product format: per
+    page, a WARC/1.0 ``conversion`` record whose payload is the
+    UTF-8 main text, gzip member per record, exactly how a *.warc.wet.gz
+    segment is laid out. The query writes each doc's WET record and
+    immediately re-ingests it through the full reader (member gunzip ->
+    record parse -> case-insensitive headers), so a hash match proves
+    the conversion-record framing of arbitrary UTF-8 payloads
+    roundtrips: (doc_id, url, wet_text, n_payload_bytes) with wet_text
+    == the source text and n_payload_bytes its octet length. Fused
+    generate+parse mapInPandas: zero exchanges, scan pruned. At 100 TB
+    this is the EXPORT stage twin of read_warc_pages' ingest stage —
+    one task per output segment, no shuffle."""
+    from ..core.warc import (
+        build_record, gunzip_members, gzip_member, parse_records,
+    )
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                doc_id = int(doc_id)
+                url = f"https://example.org/page/{doc_id}"
+                payload = str(text).encode("utf-8")
+                rec = build_record(
+                    "conversion",
+                    {"WARC-Target-URI": url,
+                     "WARC-Date": "2026-01-01T00:00:00Z",
+                     "WARC-Refers-To": f"<urn:uuid:{doc_id:08x}>",
+                     "Content-Type": "text/plain"},
+                    payload,
+                )
+                parsed = parse_records(gunzip_members(gzip_member(rec)))
+                conv = [r for r in parsed if r["type"] == "conversion"]
+                rows.append({
+                    "doc_id": doc_id,
+                    "url": (conv[0]["headers"].get("WARC-Target-URI")
+                            if conv else None),
+                    "wet_text": (
+                        conv[0]["payload"].decode("utf-8")
+                        if conv else None
+                    ),
+                    "n_payload_bytes": (
+                        len(conv[0]["payload"]) if conv else None
+                    ),
+                })
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "wet_text", "n_payload_bytes"],
+            )
+
+    return _base(spark, sf_dir).mapInPandas(
+        run,
+        schema=("doc_id long, url string, wet_text string, "
+                "n_payload_bytes int"),
+    )
+
+
 PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 3
 PAGERANK_TOPK = 20
