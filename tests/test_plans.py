@@ -347,3 +347,13 @@ def test_lang_balance_sample_is_broadcast_filter_no_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_wet_export_is_narrow_and_prunes_scan(spark):
+    # the WET writer+reader roundtrip is one fused mapInPandas: zero
+    # exchanges, scan pruned to doc_id+text (the export stage adds no
+    # shuffle on top of extraction)
+    plan = _plan(ops.wet_export(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0]
