@@ -601,6 +601,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cosine_topk"] = ops.cosine_topk
     out["cosine_adjacent"] = ops.cosine_adjacent_pairs
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    # added after the round-4 prefix froze: locally oracle-verified now,
+    # to be moved into the gate prefix when round 5 reorders
+    out["tfidf_top_terms"] = ops.tfidf_top_terms
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
@@ -1195,6 +1198,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang) "
         "WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT "
         f"/ {float(1 << 32)!r} < fr.keep_frac"
+    )
+    from pdfi_spark.ops.textstats import TFIDF_TOPK
+
+    # TF-IDF keywords: idf snapped to 9 decimals in BOTH engines (ln is
+    # ~1ulp each side; drift cannot reach the grid), score to 6; ties
+    # rank by (score desc, term)
+    out["tfidf_top_terms"] = (
+        "WITH n AS (SELECT count(*) AS n_docs FROM documents), "
+        "w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tfc AS (SELECT doc_id, term, count(*) AS tf FROM w "
+        "GROUP BY doc_id, term), "
+        "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term), "
+        "idf AS (SELECT term, round(ln(n.n_docs::DOUBLE / df), 9) AS idf "
+        "FROM dfc, n), "
+        "scored AS (SELECT t.doc_id, t.term, "
+        "round(t.tf * i.idf, 6) AS score "
+        "FROM tfc t JOIN idf i USING (term)), "
+        "ranked AS (SELECT doc_id, term, score, row_number() OVER ("
+        "PARTITION BY doc_id ORDER BY score DESC, term) AS rank "
+        "FROM scored) "
+        f"SELECT doc_id, term, score, rank FROM ranked "
+        f"WHERE rank <= {TFIDF_TOPK}"
     )
     out["ivf_cell_counts"] = (
         _ivf_assigned_cte()

@@ -137,6 +137,7 @@ def main() -> int:
         "url_dedup_counts": ops.url_dedup_counts,
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
         "lang_balance_sample": ops.lang_balance_sample,
+        "tfidf_top_terms": ops.tfidf_top_terms,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

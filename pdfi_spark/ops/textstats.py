@@ -302,6 +302,49 @@ def lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keywords: (doc_id, term, score, rank) for the
+    top-3 terms of every doc — the classic salience signal (topic
+    tagging, keyword-based routing, near-dup explanation). Shape at
+    10^12 docs: term frequencies are one keyed aggregate on
+    (doc_id, term); document frequencies reuse that table (one more
+    aggregate on term); the tf-df join is keyed on term (broadcastable
+    when the vocabulary is small, as here); top-k is a per-doc window —
+    partitioned by doc_id, so no single-partition funnel. Cross-engine
+    determinism: idf = ln(n_docs/df) snapped to 9 decimals (ln is ~1ulp
+    in both engines — drift can't reach the grid), score = tf *
+    idf_snapped snapped to 6; ties rank by (score desc, term)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+    scored = (
+        tf.join(F.broadcast(df_tbl.select("term", idf.alias("idf"))),
+                "term")
+        .select(
+            "doc_id", "term",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
 

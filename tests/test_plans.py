@@ -357,3 +357,14 @@ def test_wet_export_is_narrow_and_prunes_scan(spark):
     assert plan.count("Exchange") == 0, plan
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "lang" not in read_schema[0]
+
+
+def test_tfidf_is_keyed_aggregates_and_per_doc_window(spark):
+    # tf and df are keyed hash-aggregates; the tf-df join is broadcast
+    # (small vocab) — never a cartesian; top-k is a window partitioned
+    # by doc_id (no single-partition funnel, unlike a global rank)
+    plan = _plan(ops.tfidf_top_terms(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" in plan
+    assert "HashAggregate" in plan
