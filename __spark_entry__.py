@@ -604,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # added after the round-4 prefix froze: locally oracle-verified now,
     # to be moved into the gate prefix when round 5 reorders
     out["tfidf_top_terms"] = ops.tfidf_top_terms
+    out["unigram_surprisal"] = ops.unigram_surprisal
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
@@ -1221,6 +1222,16 @@ def oracle_sql() -> dict[str, str]:
         "FROM scored) "
         f"SELECT doc_id, term, score, rank FROM ranked "
         f"WHERE rank <= {TFIDF_TOPK}"
+    )
+    out["unigram_surprisal"] = (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tot AS (SELECT count(*)::DOUBLE AS total FROM w), "
+        "freq AS (SELECT term, round(-ln(count(*)::DOUBLE / tot.total), 9) "
+        "AS s FROM w, tot GROUP BY term, tot.total) "
+        "SELECT w.doc_id, round(avg(f.s), 6) AS mean_surprisal, "
+        "count(*) AS n_tokens FROM w JOIN freq f USING (term) "
+        "GROUP BY w.doc_id"
     )
     out["ivf_cell_counts"] = (
         _ivf_assigned_cte()

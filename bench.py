@@ -138,6 +138,7 @@ def main() -> int:
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
         "lang_balance_sample": ops.lang_balance_sample,
         "tfidf_top_terms": ops.tfidf_top_terms,
+        "unigram_surprisal": ops.unigram_surprisal,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -42,6 +42,7 @@ from .textstats import (
     stratified_sample,
     lang_balance_sample,
     tfidf_top_terms,
+    unigram_surprisal,
     pii_scrub,
     lang_id_ngram,
     lang_stopword_counts,
@@ -57,7 +58,7 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
-    "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "lang_balance_sample", "tfidf_top_terms", "media_metadata", "media_features",
+    "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "lang_balance_sample", "tfidf_top_terms", "unigram_surprisal", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",
     "html_outlinks", "html_content_spans", "corpus_build_counts",

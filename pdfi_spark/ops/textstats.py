@@ -345,6 +345,39 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (nats) against the corpus
+    unigram model — the self-contained analogue of CCNet's LM-perplexity
+    quality filter: low surprisal = boilerplate-like/common text, high =
+    rare-token or garbled text; pipelines bucket on it to drop both
+    tails. Shape: one explode+aggregate builds the unigram counts, the
+    frequency table joins back broadcast (vocabulary-sized; at web scale
+    this is the classic replicated dimension), then one keyed aggregate
+    per doc. Determinism: -ln(cnt/total) snapped to 9 decimals per term
+    (ln ~1ulp both engines), the per-doc mean snapped to 6 (accumulation
+    -order drift ~1e-14 cannot reach the grid)."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    counts = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = words.count()
+    surprisal = F.round(
+        -F.log(F.col("cnt").cast("double") / F.lit(float(total))), 9
+    )
+    return (
+        words.join(
+            F.broadcast(counts.select("term", surprisal.alias("s"))),
+            "term",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
 

@@ -368,3 +368,13 @@ def test_tfidf_is_keyed_aggregates_and_per_doc_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_unigram_surprisal_broadcasts_the_model(spark):
+    # the unigram frequency table must come back as a broadcast
+    # dimension onto the exploded words — never a sort-merge join of
+    # two 10^15-row exploded sides
+    plan = _plan(ops.unigram_surprisal(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
