@@ -605,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to be moved into the gate prefix when round 5 reorders
     out["tfidf_top_terms"] = ops.tfidf_top_terms
     out["unigram_surprisal"] = ops.unigram_surprisal
+    out["host_stats"] = ops.host_stats
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
@@ -1472,6 +1473,13 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup_counts"] = (
         _canon_cte + " SELECT canon_url, count(*) AS n_docs, "
         "min(doc_id) AS keep_id FROM canon GROUP BY canon_url"
+    )
+    out["host_stats"] = (
+        _canon_cte + ", h AS (SELECT "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+        "canon_url FROM canon) "
+        "SELECT host, count(*) AS n_pages, "
+        "count(DISTINCT canon_url) AS n_canon_urls FROM h GROUP BY host"
     )
     # span census: boilerplate spans are probe-derived skeleton constants,
     # the content span is the text column — fully closed-form both sides

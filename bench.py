@@ -135,6 +135,7 @@ def main() -> int:
         "wet_export": ops.wet_export,
         "url_canonicalize": ops.url_canonicalize,
         "url_dedup_counts": ops.url_dedup_counts,
+        "host_stats": ops.host_stats,
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
         "lang_balance_sample": ops.lang_balance_sample,
         "tfidf_top_terms": ops.tfidf_top_terms,

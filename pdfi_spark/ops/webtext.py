@@ -241,6 +241,24 @@ def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl census over canonicalized URLs: (host, n_pages,
+    n_canon_urls) — the politeness/coverage report every crawl keeps
+    (pages fetched per host vs distinct resources). One hash-aggregate
+    shuffle keyed on host; the distinct-count is exact here and would be
+    approx_count_distinct at 10^12 rows (noted, not silently swapped)."""
+    canon = url_canonicalize(spark, sf_dir)
+    host = F.regexp_extract(F.col("canon_url"), "^[a-z]+://([^/:?#]+)", 1)
+    return (
+        canon.select(host.alias("host"), "canon_url")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("canon_url").alias("n_canon_urls"),
+        )
+    )
+
+
 def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree census over the extracted link graph: one hash-aggregate
     shuffle on dst (map-side partials first). The classic first pass of
