@@ -481,6 +481,16 @@ def _windowed_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _url_dedup_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pdfi_spark.streaming import url_dedup_streaming
+
+    return url_dedup_streaming(
+        spark, sf_dir, query_name=f"url_dedup_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _streaming_dedup_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
@@ -606,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["tfidf_top_terms"] = ops.tfidf_top_terms
     out["unigram_surprisal"] = ops.unigram_surprisal
     out["host_stats"] = ops.host_stats
+    out["url_dedup_streaming"] = _url_dedup_streaming_query
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
@@ -1471,6 +1482,10 @@ def oracle_sql() -> dict[str, str]:
         _canon_cte + " SELECT doc_id, raw_url, canon_url FROM canon"
     )
     out["url_dedup_counts"] = (
+        _canon_cte + " SELECT canon_url, count(*) AS n_docs, "
+        "min(doc_id) AS keep_id FROM canon GROUP BY canon_url"
+    )
+    out["url_dedup_streaming"] = (
         _canon_cte + " SELECT canon_url, count(*) AS n_docs, "
         "min(doc_id) AS keep_id FROM canon GROUP BY canon_url"
     )

@@ -172,6 +172,75 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str,
     )
 
 
+def url_dedup_streaming(spark: SparkSession, sf_dir: str,
+                        query_name: str = "url_dedup_streaming",
+                        n_input_files: int = 4) -> DataFrame:
+    """Continuous crawl-ingest dedup: the codegen canonical_url chain
+    applied INSIDE a stream (expression chains work unchanged on
+    streaming DataFrames), feeding the same first-seen GroupState
+    ledger as streaming_dedup_state but keyed on the canonical URL —
+    what a live crawler runs to skip re-fetched resources. Input split
+    across files with maxFilesPerTrigger=1 so state persists across
+    micro-batches; the final ledger equals the batch url_dedup_counts
+    aggregate (the oracle). At crawl scale the ledger gets a
+    GroupStateTimeout TTL; here keys are bounded."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .ops.webtext import _raw_url_expr, canonical_url
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    input_dir = tempfile.mkdtemp(prefix="pdfi_url_dedup_in_")
+    docs.repartition(n_input_files).write.mode("overwrite").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    canon = stream.select(
+        "doc_id", canonical_url(_raw_url_expr()).alias("canon_url")
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            count, min_id = state.get
+        else:
+            count, min_id = 0, None
+        for pdf in pdfs:
+            count += len(pdf)
+            batch_min = int(pdf["doc_id"].min())
+            min_id = batch_min if min_id is None else min(min_id, batch_min)
+        state.update((count, min_id))
+        yield pd.DataFrame(
+            [{"canon_url": key[0], "n_docs": count, "keep_id": min_id}]
+        )
+
+    updates = canon.groupBy("canon_url").applyInPandasWithState(
+        update,
+        outputStructType="canon_url string, n_docs long, keep_id long",
+        stateStructType="count long, min_id long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = tempfile.mkdtemp(prefix="pdfi_url_dedup_ckpt_")
+    query = (
+        updates.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # one row per key per touching batch -> final ledger row per key
+    return (
+        spark.table(query_name)
+        .groupBy("canon_url")
+        .agg(F.max("n_docs").alias("n_docs"), F.min("keep_id").alias("keep_id"))
+    )
+
+
 def session_window_events(spark: SparkSession, sf_dir: str,
                           gap: str = "30 minutes",
                           watermark: str = "10 minutes",
