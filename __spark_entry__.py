@@ -617,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["unigram_surprisal"] = ops.unigram_surprisal
     out["host_stats"] = ops.host_stats
     out["url_dedup_streaming"] = _url_dedup_streaming_query
+    out["robots_filter"] = ops.robots_filter
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out
@@ -1495,6 +1496,40 @@ def oracle_sql() -> dict[str, str]:
         "canon_url FROM canon) "
         "SELECT host, count(*) AS n_pages, "
         "count(DISTINCT canon_url) AS n_canon_urls FROM h GROUP BY host"
+    )
+    # robots verdicts: the oracle derives its closed-form CASE from the
+    # SAME parser (core/robots.rules_for) at SQL-build time — rules
+    # ordered (longest prefix first, Allow first on ties), first LIKE
+    # match wins, no match -> allowed
+    from pdfi_spark.core.robots import ROBOTS_TXT as _RTXT
+    from pdfi_spark.core.robots import rules_for as _rules_for
+
+    def _host_case(txt: str, what: str) -> str:
+        rs = sorted(_rules_for(txt), key=lambda r: (-len(r[1]), not r[0]))
+        whens = " ".join(
+            f"WHEN path LIKE '{p}%' THEN "
+            + (str(a).lower() if what == "allowed" else f"'{p}'")
+            for a, p in rs
+        )
+        default = "true" if what == "allowed" else "NULL"
+        return f"CASE {whens} ELSE {default} END"
+
+    _robots_allowed = " ".join(
+        f"WHEN host = '{h}' THEN {_host_case(t, 'allowed')}"
+        for h, t in _RTXT.items()
+    )
+    _robots_prefix = " ".join(
+        f"WHEN host = '{h}' THEN {_host_case(t, 'prefix')}"
+        for h, t in _RTXT.items()
+    )
+    out["robots_filter"] = (
+        _canon_cte + ", pg AS (SELECT doc_id, "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+        "regexp_extract(canon_url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path "
+        "FROM canon) "
+        f"SELECT doc_id, host, CASE {_robots_allowed} ELSE true END "
+        "AS allowed, "
+        f"CASE {_robots_prefix} ELSE NULL END AS matched_prefix FROM pg"
     )
     # span census: boilerplate spans are probe-derived skeleton constants,
     # the content span is the text column — fully closed-form both sides

@@ -136,6 +136,7 @@ def main() -> int:
         "url_canonicalize": ops.url_canonicalize,
         "url_dedup_counts": ops.url_dedup_counts,
         "host_stats": ops.host_stats,
+        "robots_filter": ops.robots_filter,
         "minhash128_jaccard_estimates": ops.minhash128_jaccard_estimates,
         "lang_balance_sample": ops.lang_balance_sample,
         "tfidf_top_terms": ops.tfidf_top_terms,

@@ -1,0 +1,114 @@
+"""robots.txt parsing + path matching — the crawl politeness stage.
+
+Built from the public robots exclusion protocol (RFC 9309 / the Google
+robots.txt spec); Spark-free like the rest of core/. Supported surface,
+deliberately minimal and documented:
+
+- ``User-agent`` groups (case-insensitive field names; consecutive
+  User-agent lines share one group); a crawler takes the most specific
+  matching group, falling back to ``*``.
+- ``Allow`` / ``Disallow`` rules as LITERAL path prefixes (no ``*``
+  wildcards or ``$`` anchors — a production crawler adds them; the
+  matching algebra below is unchanged).
+- Longest-match-wins across Allow+Disallow; on equal length Allow wins
+  (RFC 9309 §2.2.2). No matching rule -> allowed. An empty
+  ``Disallow:`` value disallows nothing (emits no rule).
+- ``#`` comments and unknown fields (Crawl-delay, Sitemap) are ignored.
+
+The planted per-host fixtures (ROBOTS_TXT) are the single source for
+both the Spark operator and its DuckDB oracle: the oracle derives its
+closed-form CASE from ``rules_for`` at SQL-build time, so parser edits
+propagate to both engines.
+"""
+from __future__ import annotations
+
+# deterministic per-host fixtures for the planted URL corpus
+# (ops/webtext._raw_url_expr hosts): example.com blocks the /Doc/1*
+# segment range but re-allows the /Doc/13* subtree (longest-match +
+# tie semantics exercised); www.example.com has a specific-agent group
+# (must be IGNORED when selecting '*') plus a '*' group blocking
+# /Doc/2*.
+ROBOTS_TXT: dict[str, str] = {
+    "example.com": (
+        "# crawl policy\n"
+        "User-agent: *\n"
+        "Disallow: /Doc/1\n"
+        "Allow: /Doc/13\n"
+        "Crawl-delay: 2\n"
+    ),
+    "www.example.com": (
+        "User-agent: special-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /Doc/2\n"
+        "Disallow:\n"
+    ),
+}
+
+
+def parse_robots(text: str) -> list[dict]:
+    """robots.txt -> [{agents: [..], rules: [(allow: bool, prefix)]}].
+
+    Groups are runs of User-agent lines followed by their rules;
+    field names match case-insensitively; comments and blank lines are
+    skipped (a blank line does NOT terminate a group per RFC 9309 —
+    only a new User-agent run after rules does)."""
+    groups: list[dict] = []
+    current: dict | None = None
+    agents_open = False  # collecting consecutive User-agent lines
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not agents_open:
+                current = {"agents": [], "rules": []}
+                groups.append(current)
+                agents_open = True
+            current["agents"].append(value.lower())
+        elif field in ("allow", "disallow"):
+            agents_open = False
+            if current is None:  # rules before any User-agent: ignored
+                continue
+            if value == "":
+                # empty Disallow = nothing disallowed; empty Allow is
+                # meaningless — neither emits a rule
+                continue
+            current["rules"].append((field == "allow", value))
+        else:
+            agents_open = False  # Crawl-delay etc.: ends the agent run
+    return groups
+
+
+def rules_for(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """Select the group for ``agent``: the longest agent token that is a
+    prefix of ``agent`` wins, else the ``*`` group, else no rules."""
+    agent = agent.lower()
+    best: tuple[int, list] | None = None
+    star: list | None = None
+    for g in parse_robots(text):
+        for a in g["agents"]:
+            if a == "*":
+                star = g["rules"] if star is None else star
+            elif agent.startswith(a):
+                if best is None or len(a) > best[0]:
+                    best = (len(a), g["rules"])
+    if best is not None:
+        return list(best[1])
+    return list(star) if star is not None else []
+
+
+def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
+    """Longest-match across Allow+Disallow; Allow wins length ties;
+    no match -> allowed."""
+    winner: tuple[int, bool] | None = None
+    for allow, prefix in rules:
+        if path.startswith(prefix):
+            key = (len(prefix), allow)
+            if winner is None or key > winner:
+                winner = key
+    return True if winner is None else winner[1]

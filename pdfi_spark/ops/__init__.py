@@ -29,7 +29,8 @@ from .webtext import (corpus_build_counts, html_block_stats,
                       html_main_content, html_outlinks,
                       link_graph_degrees, link_graph_pagerank,
                       link_graph_pagerank_dangling,
-                      host_stats, read_warc_pages, strip_boilerplate,
+                      host_stats, read_warc_pages, robots_filter,
+                      strip_boilerplate,
                       url_canonicalize, url_dedup_counts, warc_extract,
                       wet_export)
 from .textstats import (
@@ -64,6 +65,6 @@ __all__ = [
     "html_outlinks", "html_content_spans", "corpus_build_counts",
     "link_graph_degrees",
     "link_graph_pagerank", "link_graph_pagerank_dangling",
-    "host_stats", "read_warc_pages", "url_canonicalize", "url_dedup_counts",
+    "host_stats", "read_warc_pages", "robots_filter", "url_canonicalize", "url_dedup_counts",
     "warc_extract", "wet_export",
 ]

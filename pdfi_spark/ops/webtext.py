@@ -241,6 +241,78 @@ def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl politeness filtering: per-page robots.txt verdict
+    (doc_id, host, allowed, matched_prefix) under RFC 9309
+    longest-match semantics. The per-host robots files (core/robots.py
+    ROBOTS_TXT) are parsed into a RULES DIMENSION inside a mapInPandas
+    (exactly how a crawler materializes fetched robots into a dim
+    table), broadcast-joined onto the canonicalized pages, prefix-
+    matched with startswith, and the winning rule picked by
+    max_by((prefix_len, allow)) — longest match, Allow wins ties, no
+    match allowed. At 10^12 pages the rules side stays host-count-sized
+    (broadcast); the page side is one narrow pass + one keyed
+    aggregate."""
+    from ..core.robots import ROBOTS_TXT, rules_for
+
+    canon = url_canonicalize(spark, sf_dir)
+    pages = canon.select(
+        "doc_id",
+        F.regexp_extract("canon_url", "^[a-z]+://([^/:?#]+)", 1)
+        .alias("host"),
+        F.regexp_extract("canon_url", "^[a-z]+://[^/?#]*([^?#]*)", 1)
+        .alias("path"),
+    )
+
+    robots_dim = spark.createDataFrame(
+        list(ROBOTS_TXT.items()), "host string, robots_txt string"
+    )
+
+    def parse(iterator):
+        for batch in iterator:
+            rows = []
+            for host, txt in zip(batch["host"], batch["robots_txt"]):
+                for allow, prefix in rules_for(str(txt), "*"):
+                    rows.append({
+                        "host": str(host), "allow": bool(allow),
+                        "prefix": prefix, "plen": len(prefix),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["host", "allow", "prefix", "plen"]
+            )
+
+    rules = robots_dim.mapInPandas(
+        parse, schema="host string, allow boolean, prefix string, plen int"
+    )
+    matched = (
+        pages.join(F.broadcast(rules), "host", "left")
+        .withColumn(
+            "hit",
+            F.col("prefix").isNotNull()
+            & F.col("path").startswith(F.col("prefix")),
+        )
+    )
+    verdict = (
+        matched.groupBy("doc_id", "host")
+        .agg(
+            # winner = max over matching rules of (plen, allow): longest
+            # match, Allow breaking ties; NULL when nothing matched
+            F.max_by(
+                F.struct("plen", "allow", "prefix"),
+                F.when(F.col("hit"),
+                       F.struct("plen", F.col("allow").cast("int")))
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "host",
+            F.coalesce(F.col("w.allow"), F.lit(True)).alias("allowed"),
+            F.col("w.prefix").alias("matched_prefix"),
+        )
+    )
+    return verdict
+
+
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl census over canonicalized URLs: (host, n_pages,
     n_canon_urls) — the politeness/coverage report every crawl keeps

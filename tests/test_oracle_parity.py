@@ -1,6 +1,6 @@
 """Fast in-suite replica of the driver's correctness gate: a
 representative subset of __spark_entry__ queries vs their DuckDB oracles
-at sf0.001 (the full 100-query sweep at sf0.01 lives in
+at sf0.001 (the full 101-query sweep at sf0.01 lives in
 tools/check_oracles.py, ~4 min). Comparison is the same
 order-insensitive sorted-column value hash the driver uses."""
 import hashlib
@@ -44,6 +44,7 @@ SUBSET = [
     "url_canonicalize",
     "url_dedup_counts",
     "host_stats",
+    "robots_filter",
     "lang_balance_sample",
     "tfidf_top_terms",
     "unigram_surprisal",

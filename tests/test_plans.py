@@ -378,3 +378,12 @@ def test_unigram_surprisal_broadcasts_the_model(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_robots_filter_broadcasts_rules_no_cartesian(spark):
+    # the parsed rules dimension is host-count-sized and must come back
+    # as a broadcast join onto the canonicalized pages
+    plan = _plan(ops.robots_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
