@@ -307,9 +307,9 @@ def _pipeline_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching the flate golden, plus the resumed run's buckets_skipped
     count (must be 2: committed buckets are never reprocessed)."""
     import json
-    import tempfile
 
     from pdfi_spark.pipeline import CheckpointStore, read_extracted, run_pipeline
+    from pdfi_spark.streaming import scratch_dir
 
     docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
     payload = docs.select(F.col("doc_id").cast("string").alias("url"), "html")
@@ -317,10 +317,10 @@ def _pipeline_resume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket filter sits above the generator UDF (bucket = hash(url), an
     # output column), so streaming the plan in directly would regenerate
     # every PDF per wave and again on resume (~3 full passes)
-    input_dir = tempfile.mkdtemp(prefix="pdfi_resume_in_")
+    input_dir = scratch_dir(prefix="pdfi_resume_in_")
     payload.write.mode("overwrite").parquet(input_dir)
     payload = spark.read.parquet(input_dir)
-    out = tempfile.mkdtemp(prefix="pdfi_resume_q_")
+    out = scratch_dir(prefix="pdfi_resume_q_")
     run_pipeline(spark, payload, out, n_buckets=4, wave_size=2)
     store = CheckpointStore(out)
     committed = store.metrics()[:2]
@@ -342,12 +342,12 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator-built pages -> strip_boilerplate mapInPandas -> memory
     sink, one available-now pass (same oracle as the batch path) —
     the webtext axis through the streaming surface."""
-    import tempfile
     import uuid
 
     from pdfi_spark.core.htmlgen import ORACLE_PER_BLOCK as HTML_ORACLE_PER_BLOCK
     from pdfi_spark.core.htmlgen import build_html
     from pdfi_spark.ops.webtext import strip_boilerplate
+    from pdfi_spark.streaming import scratch_dir
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
@@ -365,7 +365,7 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "html"])
 
     pages = base.mapInPandas(gen, schema="url string, html binary")
-    input_dir = tempfile.mkdtemp(prefix="pdfi_html_stream_")
+    input_dir = scratch_dir(prefix="pdfi_html_stream_")
     pages.write.mode("overwrite").parquet(input_dir)
 
     stream = spark.readStream.schema("url string, html binary").parquet(input_dir)
@@ -374,7 +374,7 @@ def _html_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         stripped.writeStream.queryName(name).format("memory")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_html_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="pdfi_html_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -389,13 +389,13 @@ def _warc_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one capture triple per document, member-per-record gzip) ->
     read_warc_pages connector -> boilerplate strip -> memory sink, one
     available-now pass. Same oracle as the batch warc roundtrip."""
-    import tempfile
     import uuid
 
     from pdfi_spark.core.htmlgen import ORACLE_PER_BLOCK as HTML_ORACLE_PER_BLOCK
     from pdfi_spark.core.htmlgen import build_html
     from pdfi_spark.core.warc import build_capture_records, gzip_member
     from pdfi_spark.ops.webtext import read_warc_pages, strip_boilerplate
+    from pdfi_spark.streaming import scratch_dir
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
 
@@ -419,7 +419,7 @@ def _warc_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["path", "content"])
 
     blobs = base.mapInPandas(gen, schema="path string, content binary")
-    input_dir = tempfile.mkdtemp(prefix="pdfi_warc_stream_")
+    input_dir = scratch_dir(prefix="pdfi_warc_stream_")
     blobs.write.mode("overwrite").parquet(input_dir)
 
     stream = spark.readStream.schema("path string, content binary").parquet(
@@ -430,7 +430,7 @@ def _warc_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         stripped.writeStream.queryName(name).format("memory")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_warc_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="pdfi_warc_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -447,11 +447,12 @@ def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming twin of extract_flate: readStream over the
     same synthetic corpus -> mapInPandas extraction -> memory sink, one
     available-now pass (same oracle as the batch path)."""
-    import tempfile
     import uuid
 
+    from pdfi_spark.streaming import scratch_dir
+
     docs = build_documents_with_id(spark, sf_dir, "flate", per_block=ORACLE_PER_BLOCK)
-    input_dir = tempfile.mkdtemp(prefix="pdfi_stream_q_")
+    input_dir = scratch_dir(prefix="pdfi_stream_q_")
     docs.select(F.col("doc_id").cast("string").alias("url"), "html") \
         .write.mode("overwrite").parquet(input_dir)
 
@@ -461,7 +462,7 @@ def _extract_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = (
         extracted.writeStream.queryName(name).format("memory")
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="pdfi_stream_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="pdfi_stream_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -519,55 +520,25 @@ def _session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so a prefix-sampling gate covers everything that most
-    needs driver evidence first: (1) operators new or changed in round 4,
-    (2) the 37 queries the r03 gate's 50-row prefix did not reach (all
-    green in r01/r02 driver rows and in tools/check_oracles.py — this
-    ordering puts every query lacking RECENT driver evidence inside one
-    round's sample), (3) the remainder, all driver-green in r03."""
+    needs driver evidence first: (1) the five round-4 tail registrations
+    that have never had a driver row (the r04 prefix froze before they
+    landed), (2) operators changed in round 5 (robots wildcard rules are
+    in group 1 via robots_filter; WARC header writes went
+    case-insensitive; the handmade corpus gained linearized + hybrid
+    /XRefStm fixtures), (3) the 46 queries last driver-sampled in r03,
+    (4) the remainder, all driver-green in r04."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- group 1: new or changed in round 4 --
-    out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
-    out["minhash128_signatures"] = ops.minhash128_signatures
-    out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
-    out["dedup_clusters_128"] = ops.dedup_clusters_128
-    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
-    out["url_canonicalize"] = ops.url_canonicalize
-    out["url_dedup_counts"] = ops.url_dedup_counts
-    out["lang_balance_sample"] = ops.lang_balance_sample
-    out["wet_export"] = ops.wet_export
-    # changed: dangling-mass term now live in the shared pagerank body;
-    # WARC header lookup went case-insensitive with record resync
-    out["link_graph_pagerank"] = ops.link_graph_pagerank
+    # -- group 1: registered after the r04 prefix froze; never sampled --
+    out["tfidf_top_terms"] = ops.tfidf_top_terms
+    out["unigram_surprisal"] = ops.unigram_surprisal
+    out["host_stats"] = ops.host_stats
+    out["url_dedup_streaming"] = _url_dedup_streaming_query
+    out["robots_filter"] = ops.robots_filter
+    # -- group 2: changed in round 5 --
     out["warc_extract"] = ops.warc_extract
     out["warc_streaming"] = _warc_streaming_query
-    # -- group 2: not driver-sampled since round 2 --
-    out["ivf_cell_counts"] = ops.ivf_cell_counts
-    out["ivf_topk"] = ops.ivf_topk
-    out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
-    out["lang_stopwords"] = ops.lang_stopword_counts
-    out["lang_id_ngram"] = ops.lang_id_ngram
-    out["quality_scores"] = ops.quality_scores
-    out["token_counts"] = ops.token_counts
-    out["doc_fingerprint"] = ops.doc_fingerprint
-    out["decontaminate"] = ops.decontaminate
-    out["extract_sections_struct"] = _extract_sections_struct_query
     out["extract_handmade"] = _extract_handmade_query
-    out["extract_corrupt"] = _extract_corrupt_query
-    out["trailer_metadata"] = _metadata_query
-    out["info_metadata"] = _info_metadata_query
-    out["xref_count"] = _xref_count_query
-    out["extract_meta"] = _extract_meta_query
-    out["extract_errors"] = _extract_errors_query
-    for recipe in (
-        "simple", "positioning", "tj_kerning", "flate", "asciihex",
-        "ascii85", "lzw", "filter_chain", "xref_stream", "type0_cmap",
-        "differences", "xobject", "multipage", "multistream",
-        "multicolumn_oracle", "sections_oracle", "core14_nowidths",
-        "astral_cmap", "glyphnames", "macroman",
-    ):
-        out[f"extract_{recipe}"] = _extract_query(recipe)
-    # -- group 3: driver-green in round 3 --
-    out["minhash_signatures"] = ops.minhash_signatures
+    # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
     out["link_graph_degrees"] = ops.link_graph_degrees
@@ -611,13 +582,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cosine_topk"] = ops.cosine_topk
     out["cosine_adjacent"] = ops.cosine_adjacent_pairs
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
-    # added after the round-4 prefix froze: locally oracle-verified now,
-    # to be moved into the gate prefix when round 5 reorders
-    out["tfidf_top_terms"] = ops.tfidf_top_terms
-    out["unigram_surprisal"] = ops.unigram_surprisal
-    out["host_stats"] = ops.host_stats
-    out["url_dedup_streaming"] = _url_dedup_streaming_query
-    out["robots_filter"] = ops.robots_filter
+    # -- group 4: driver-green in round 4 --
+    out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
+    out["minhash128_signatures"] = ops.minhash128_signatures
+    out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
+    out["dedup_clusters_128"] = ops.dedup_clusters_128
+    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
+    out["url_canonicalize"] = ops.url_canonicalize
+    out["url_dedup_counts"] = ops.url_dedup_counts
+    out["lang_balance_sample"] = ops.lang_balance_sample
+    out["wet_export"] = ops.wet_export
+    out["link_graph_pagerank"] = ops.link_graph_pagerank
+    out["ivf_cell_counts"] = ops.ivf_cell_counts
+    out["ivf_topk"] = ops.ivf_topk
+    out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
+    out["lang_stopwords"] = ops.lang_stopword_counts
+    out["lang_id_ngram"] = ops.lang_id_ngram
+    out["quality_scores"] = ops.quality_scores
+    out["token_counts"] = ops.token_counts
+    out["doc_fingerprint"] = ops.doc_fingerprint
+    out["decontaminate"] = ops.decontaminate
+    out["extract_sections_struct"] = _extract_sections_struct_query
+    out["extract_corrupt"] = _extract_corrupt_query
+    out["trailer_metadata"] = _metadata_query
+    out["info_metadata"] = _info_metadata_query
+    out["xref_count"] = _xref_count_query
+    out["extract_meta"] = _extract_meta_query
+    out["extract_errors"] = _extract_errors_query
+    out["minhash_signatures"] = ops.minhash_signatures
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out

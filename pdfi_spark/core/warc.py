@@ -41,9 +41,13 @@ class Headers(dict):
 
     Keys keep their on-the-wire casing (callers that iterate or display
     see the archive's bytes); ``[]`` / ``get`` / ``in`` match any casing,
-    so ``headers["Content-Length"]`` finds ``content-length``. Records
-    carry ~6 fields, so the linear scan is cheaper than keeping a
-    parallel lowercased index in every record dict.
+    so ``headers["Content-Length"]`` finds ``content-length``. Writes
+    are case-insensitive too: assigning ``content-length`` when
+    ``Content-Length`` exists REPLACES the value under the first-seen
+    casing (one canonical entry per field, last writer wins — duplicate
+    header lines differing only in case can't fork into two entries).
+    Records carry ~6 fields, so the linear scan is cheaper than keeping
+    a parallel lowercased index in every record dict.
     """
 
     def _key(self, name: str) -> str | None:
@@ -67,6 +71,10 @@ class Headers(dict):
 
     def __contains__(self, name) -> bool:
         return self._key(name) is not None
+
+    def __setitem__(self, name: str, value) -> None:
+        k = self._key(name)
+        dict.__setitem__(self, name if k is None else k, value)
 
 
 def build_record(warc_type: str, headers: dict[str, str],

@@ -13,6 +13,8 @@ single available-now run) — which is what makes them oracle-checkable.
 """
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -20,6 +22,15 @@ from pyspark.sql import functions as F
 
 from .datagen import DOCUMENTS_SCHEMA
 from .pipeline import extract_text
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp that self-cleans at interpreter exit. Streaming helpers
+    materialize per-invocation input splits and checkpoints; repeated
+    driver/oracle runs must not accumulate those on disk."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def extract_stream(spark: SparkSession, input_dir: str,
@@ -33,7 +44,7 @@ def extract_stream(spark: SparkSession, input_dir: str,
     result inspectable and the checkpoint is still exercised."""
     stream = spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
     extracted = extract_text(stream, payload_col="html")
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
+    checkpoint = checkpoint_dir or scratch_dir(prefix="pdfi_stream_ckpt_")
     query = (
         extracted.writeStream.queryName(query_name)
         .format("memory")
@@ -87,7 +98,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str,
                 "sum_value",
             )
         )
-        checkpoint = tempfile.mkdtemp(prefix="pdfi_stream_ckpt_")
+        checkpoint = scratch_dir(prefix="pdfi_stream_ckpt_")
         query = (
             agg.writeStream.queryName(query_name)
             .format("memory")
@@ -114,8 +125,6 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str,
     The final ledger equals the batch dedup_exact aggregate — which is
     what makes this oracle-checkable. State is bounded by distinct keys;
     at crawl scale a TTL timeout (GroupStateTimeout) ages out cold keys."""
-    import tempfile
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -123,7 +132,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str,
         F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("dedup_key"),
         "doc_id",
     )
-    input_dir = tempfile.mkdtemp(prefix="pdfi_dedup_state_in_")
+    input_dir = scratch_dir(prefix="pdfi_dedup_state_in_")
     docs.repartition(n_input_files).write.mode("overwrite").parquet(input_dir)
 
     stream = (
@@ -153,7 +162,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix="pdfi_dedup_state_ckpt_")
+    checkpoint = scratch_dir(prefix="pdfi_dedup_state_ckpt_")
     query = (
         updates.writeStream.queryName(query_name)
         .format("memory")
@@ -190,7 +199,7 @@ def url_dedup_streaming(spark: SparkSession, sf_dir: str,
     from .ops.webtext import _raw_url_expr, canonical_url
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    input_dir = tempfile.mkdtemp(prefix="pdfi_url_dedup_in_")
+    input_dir = scratch_dir(prefix="pdfi_url_dedup_in_")
     docs.repartition(n_input_files).write.mode("overwrite").parquet(input_dir)
 
     stream = (
@@ -223,7 +232,7 @@ def url_dedup_streaming(spark: SparkSession, sf_dir: str,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    checkpoint = tempfile.mkdtemp(prefix="pdfi_url_dedup_ckpt_")
+    checkpoint = scratch_dir(prefix="pdfi_url_dedup_ckpt_")
     query = (
         updates.writeStream.queryName(query_name)
         .format("memory")
@@ -277,7 +286,7 @@ def session_window_events(spark: SparkSession, sf_dir: str,
                 "first_event",
             )
         )
-        checkpoint = tempfile.mkdtemp(prefix="pdfi_sesswin_ckpt_")
+        checkpoint = scratch_dir(prefix="pdfi_sesswin_ckpt_")
         query = (
             agg.writeStream.queryName(query_name)
             .format("memory")

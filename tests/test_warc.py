@@ -79,6 +79,20 @@ def test_header_names_case_insensitive():
     assert [c["url"] for c in caps] == ["https://x/ci"]
 
 
+def test_header_writes_case_insensitive_last_writer_wins():
+    # duplicate header lines differing only in case must collapse onto
+    # ONE entry (first-seen casing kept, last value wins) — otherwise
+    # lookups would return whichever casing happened to parse first
+    raw = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"X-Field: first\r\nx-field: second\r\n"
+           b"Content-Length: 1\r\n\r\na\r\n\r\n")
+    hdrs = parse_records(raw)[0]["headers"]
+    assert hdrs["X-Field"] == "second"
+    assert hdrs["x-FIELD"] == "second"
+    assert list(hdrs.keys()).count("X-Field") == 1
+    assert "x-field" not in list(hdrs.keys())
+
+
 def test_bad_content_length_skips_one_record_not_the_rest():
     # one unframeable record (missing/garbage Content-Length) must not
     # swallow the records after it: the scan resyncs on the next magic

@@ -132,9 +132,14 @@ def main() -> int:
     if args.report_only:
         workers = {}
         # n_docs is per-level constant; recover it from the prior aggregate
-        with open(os.path.join(
-                REPO, ".bench",
-                f"scaling_{args.style}{job_sfx_early}.json")) as f:
+        prior_path = os.path.join(
+            REPO, ".bench", f"scaling_{args.style}{job_sfx_early}.json")
+        if not os.path.exists(prior_path):
+            print(f"no prior aggregate for style={args.style} "
+                  f"job={args.job} ({prior_path}); run a capture first "
+                  "(drop --report-only)", file=sys.stderr)
+            return 2
+        with open(prior_path) as f:
             prior = json.load(f)
         n_docs = next(iter(prior["results"].values()))["n_docs"]
     else:
@@ -187,10 +192,9 @@ def main() -> int:
                 n_other_config += 1
                 continue
             all_trials.setdefault(row["cpus"], []).extend(row["trials"])
-    if n_other_config:
+    if n_other_config and salt:
         print(f"(excluded {n_other_config} ledger trials from other salt "
-              f"configs; protocol for {args.style} is "
-              f"{salt}x)" if salt else "", flush=True)
+              f"configs; protocol for {args.style} is {salt}x)", flush=True)
     trials = all_trials
     levels = sorted(all_trials)  # report every level ever measured
 
