@@ -1491,16 +1491,25 @@ def oracle_sql() -> dict[str, str]:
     )
     # robots verdicts: the oracle derives its closed-form CASE from the
     # SAME parser (core/robots.rules_for) at SQL-build time — rules
-    # ordered (longest prefix first, Allow first on ties), first LIKE
-    # match wins, no match -> allowed
+    # ordered by the winner key (most specific first, Allow first on
+    # length ties, lexicographically greatest pattern as the determinism
+    # tie-break — the mirror of the Spark side's max_by struct), first
+    # regexp_matches hit wins, no match -> allowed. The regex string is
+    # the shared-dialect pattern_regex translation, so both engines
+    # evaluate the identical pattern (and '_'/'%' in a rule stay
+    # literal, which LIKE would not guarantee).
     from pdfi_spark.core.robots import ROBOTS_TXT as _RTXT
+    from pdfi_spark.core.robots import pattern_regex as _pattern_regex
     from pdfi_spark.core.robots import rules_for as _rules_for
 
     def _host_case(txt: str, what: str) -> str:
-        rs = sorted(_rules_for(txt), key=lambda r: (-len(r[1]), not r[0]))
+        rs = sorted(_rules_for(txt), key=lambda r: r[1], reverse=True)
+        rs = sorted(rs, key=lambda r: (-len(r[1]), not r[0]))
         whens = " ".join(
-            f"WHEN path LIKE '{p}%' THEN "
-            + (str(a).lower() if what == "allowed" else f"'{p}'")
+            "WHEN regexp_matches(path, '{}') THEN ".format(
+                _pattern_regex(p).replace("'", "''"))
+            + (str(a).lower() if what == "allowed"
+               else "'" + p.replace("'", "''") + "'")
             for a, p in rs
         )
         default = "true" if what == "allowed" else "NULL"

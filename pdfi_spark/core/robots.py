@@ -7,33 +7,49 @@ deliberately minimal and documented:
 - ``User-agent`` groups (case-insensitive field names; consecutive
   User-agent lines share one group); a crawler takes the most specific
   matching group, falling back to ``*``.
-- ``Allow`` / ``Disallow`` rules as LITERAL path prefixes (no ``*``
-  wildcards or ``$`` anchors — a production crawler adds them; the
-  matching algebra below is unchanged).
-- Longest-match-wins across Allow+Disallow; on equal length Allow wins
-  (RFC 9309 §2.2.2). No matching rule -> allowed. An empty
-  ``Disallow:`` value disallows nothing (emits no rule).
+- ``Allow`` / ``Disallow`` rule values are RFC 9309 §2.2.3 path
+  patterns: anchored at the path start, ``*`` matches any character
+  run (including empty), a trailing ``$`` anchors the end of the path;
+  a ``$`` anywhere else is a literal octet. Everything else matches
+  literally (``pattern_regex`` is the single pattern->regex
+  translation all three engines share — Python ``re``, Spark
+  ``regexp_like``, DuckDB ``regexp_matches``; it only emits escapes
+  valid in all three dialects).
+- Most-specific-match-wins across Allow+Disallow, specificity = octet
+  length of the raw rule value (the RFC's measure — wildcards count as
+  one octet); on equal length Allow wins (RFC 9309 §2.2.2); remaining
+  ties break on the lexicographically greatest pattern so the winning
+  rule is deterministic cross-engine. No matching rule -> allowed. An
+  empty ``Disallow:`` value disallows nothing (emits no rule).
 - ``#`` comments and unknown fields (Crawl-delay, Sitemap) are ignored.
 
 The planted per-host fixtures (ROBOTS_TXT) are the single source for
 both the Spark operator and its DuckDB oracle: the oracle derives its
-closed-form CASE from ``rules_for`` at SQL-build time, so parser edits
-propagate to both engines.
+closed-form CASE from ``rules_for`` + ``pattern_regex`` at SQL-build
+time, so parser edits propagate to both engines.
 """
 from __future__ import annotations
 
+import re
+from functools import lru_cache
+
 # deterministic per-host fixtures for the planted URL corpus
-# (ops/webtext._raw_url_expr hosts): example.com blocks the /Doc/1*
-# segment range but re-allows the /Doc/13* subtree (longest-match +
-# tie semantics exercised); www.example.com has a specific-agent group
-# (must be IGNORED when selecting '*') plus a '*' group blocking
-# /Doc/2*.
+# (ops/webtext._raw_url_expr hosts; canonical paths are /Doc/0../Doc/49):
+# example.com blocks the /Doc/1* segment range, re-allows the /Doc/13*
+# subtree (longest-match + tie semantics), blocks every path ending in 7
+# via the wildcard+anchor rule /Doc/*7$, and re-allows /Doc/47 via an
+# equal-length Allow wildcard (the §2.2.2 Allow-wins-ties rule ON a
+# wildcard pair); www.example.com has a specific-agent group (must be
+# IGNORED when selecting '*') plus a '*' group blocking /Doc/2* while
+# the end-anchored Allow: /Doc/2$ re-allows exactly /Doc/2.
 ROBOTS_TXT: dict[str, str] = {
     "example.com": (
         "# crawl policy\n"
         "User-agent: *\n"
         "Disallow: /Doc/1\n"
         "Allow: /Doc/13\n"
+        "Disallow: /Doc/*7$\n"
+        "Allow: /Doc/4*7\n"
         "Crawl-delay: 2\n"
     ),
     "www.example.com": (
@@ -42,9 +58,37 @@ ROBOTS_TXT: dict[str, str] = {
         "\n"
         "User-agent: *\n"
         "Disallow: /Doc/2\n"
+        "Allow: /Doc/2$\n"
         "Disallow:\n"
     ),
 }
+
+# regex metacharacters that every target dialect (Python re, Java
+# java.util.regex, RE2) both treats specially and accepts backslash-
+# escaped; pattern_regex emits nothing outside this set + . and *
+_RX_SPECIALS = set("\\.^$*+?()[]{}|")
+
+
+def pattern_regex(pattern: str) -> str:
+    """RFC 9309 path pattern -> a regex string valid (and equivalent) in
+    Python re, Java regex, and RE2: anchored with a leading ``^`` (all
+    three engines are used in unanchored-search mode), ``*`` -> ``.*``,
+    a trailing ``$`` -> the end anchor, everything else literal."""
+    body, anchor = (pattern[:-1], "$") if pattern.endswith("$") else (pattern, "")
+    out = ["^"]
+    for ch in body:
+        if ch == "*":
+            out.append(".*")
+        elif ch in _RX_SPECIALS:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out) + anchor
+
+
+@lru_cache(maxsize=1024)
+def _compiled(pattern: str) -> re.Pattern:
+    return re.compile(pattern_regex(pattern))
 
 
 def parse_robots(text: str) -> list[dict]:
@@ -103,12 +147,14 @@ def rules_for(text: str, agent: str = "*") -> list[tuple[bool, str]]:
 
 
 def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
-    """Longest-match across Allow+Disallow; Allow wins length ties;
-    no match -> allowed."""
-    winner: tuple[int, bool] | None = None
-    for allow, prefix in rules:
-        if path.startswith(prefix):
-            key = (len(prefix), allow)
+    """Most-specific-match across Allow+Disallow (specificity = raw
+    pattern octet length); Allow wins length ties, then the
+    lexicographically greatest pattern (determinism only — the verdict
+    is already fixed by the first two keys); no match -> allowed."""
+    winner: tuple[int, bool, str] | None = None
+    for allow, pattern in rules:
+        if _compiled(pattern).search(path):
+            key = (len(pattern), allow, pattern)
             if winner is None or key > winner:
                 winner = key
     return True if winner is None else winner[1]

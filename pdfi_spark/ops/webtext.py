@@ -244,16 +244,21 @@ def url_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl politeness filtering: per-page robots.txt verdict
     (doc_id, host, allowed, matched_prefix) under RFC 9309
-    longest-match semantics. The per-host robots files (core/robots.py
+    most-specific-match semantics, including §2.2.3 ``*`` wildcards and
+    ``$`` end anchors. The per-host robots files (core/robots.py
     ROBOTS_TXT) are parsed into a RULES DIMENSION inside a mapInPandas
     (exactly how a crawler materializes fetched robots into a dim
-    table), broadcast-joined onto the canonicalized pages, prefix-
-    matched with startswith, and the winning rule picked by
-    max_by((prefix_len, allow)) — longest match, Allow wins ties, no
-    match allowed. At 10^12 pages the rules side stays host-count-sized
+    table) carrying each rule's shared-dialect regex
+    (core.robots.pattern_regex — the same string the DuckDB oracle
+    evaluates), broadcast-joined onto the canonicalized pages, matched
+    with regexp_like, and the winning rule picked by
+    max_by((pattern_len, allow, pattern)) — most specific match, Allow
+    wins length ties, lexicographic pattern as the determinism
+    tie-break. At 10^12 pages the rules side stays host-count-sized
     (broadcast); the page side is one narrow pass + one keyed
-    aggregate."""
-    from ..core.robots import ROBOTS_TXT, rules_for
+    aggregate, and regexp_like's compiled-pattern cache makes the
+    handful of distinct rules per host cheap per row."""
+    from ..core.robots import ROBOTS_TXT, pattern_regex, rules_for
 
     canon = url_canonicalize(spark, sf_dir)
     pages = canon.select(
@@ -272,35 +277,39 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in iterator:
             rows = []
             for host, txt in zip(batch["host"], batch["robots_txt"]):
-                for allow, prefix in rules_for(str(txt), "*"):
+                for allow, pattern in rules_for(str(txt), "*"):
                     rows.append({
                         "host": str(host), "allow": bool(allow),
-                        "prefix": prefix, "plen": len(prefix),
+                        "prefix": pattern, "plen": len(pattern),
+                        "rx": pattern_regex(pattern),
                     })
             yield pd.DataFrame(
-                rows, columns=["host", "allow", "prefix", "plen"]
+                rows, columns=["host", "allow", "prefix", "plen", "rx"]
             )
 
     rules = robots_dim.mapInPandas(
-        parse, schema="host string, allow boolean, prefix string, plen int"
+        parse,
+        schema="host string, allow boolean, prefix string, plen int, rx string",
     )
     matched = (
         pages.join(F.broadcast(rules), "host", "left")
         .withColumn(
             "hit",
-            F.col("prefix").isNotNull()
-            & F.col("path").startswith(F.col("prefix")),
+            F.col("rx").isNotNull()
+            & F.regexp_like(F.col("path"), F.col("rx")),
         )
     )
     verdict = (
         matched.groupBy("doc_id", "host")
         .agg(
-            # winner = max over matching rules of (plen, allow): longest
-            # match, Allow breaking ties; NULL when nothing matched
+            # winner = max over matching rules of (plen, allow, pattern):
+            # most specific match, Allow breaking length ties, pattern
+            # text as the determinism tie-break; NULL when nothing matched
             F.max_by(
                 F.struct("plen", "allow", "prefix"),
                 F.when(F.col("hit"),
-                       F.struct("plen", F.col("allow").cast("int")))
+                       F.struct("plen", F.col("allow").cast("int"),
+                                "prefix"))
             ).alias("w"),
         )
         .select(
