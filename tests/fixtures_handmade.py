@@ -32,10 +32,36 @@ XREFSTREAM_PDF = b'%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\
 
 XREFSTREAM_EXPECTED = '# \nxref stream by hand'
 
+# Annex-F linearized layout: linearization parameter dict first, the
+# FIRST-PAGE xref table near the top (trailer /Prev -> the main xref at
+# the end of file, then the dummy "startxref 0" + %%EOF the spec puts
+# after part 3), first-page objects, main part, main xref, and the real
+# startxref at EOF pointing BACK to the front table — exercises
+# lastIndexOf('startxref') picking the final marker past a mid-file one,
+# and a /Prev chain that jumps backward in byte order.
+LINEARIZED_PDF = b'%PDF-1.4\n7 0 obj\n<< /Linearized 1 /L 9999 /H [ 0 0 ] /O 8 /E 404 /N 1 /T 1066 >>\nendobj\nxref\n7 2\n0000000009 00000 n \n0000000226 00000 n \n10 1\n0000000275 00000 n \ntrailer\n<< /Size 11 /Root 8 0 R /Prev 1066 >>\nstartxref\n0\n%%EOF\n8 0 obj\n<< /Type /Catalog /Pages 1 0 R >>\nendobj\n10 0 obj\n<< /Type /Page /Parent 1 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 3 0 R >> >> /Contents 2 0 R >>\nendobj\n1 0 obj\n<< /Type /Pages /Kids [ 10 0 R ] /Count 1 >>\nendobj\n2 0 obj\n<< /Length 62 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (linearized front matter) Tj ET\nendstream\nendobj\n3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\nxref\n0 4\n0000000000 65535 f \n0000000404 00000 n \n0000000464 00000 n \n0000000576 00000 n \ntrailer\n<< /Size 11 /Root 8 0 R >>\nstartxref\n88\n%%EOF\n'
+
+LINEARIZED_EXPECTED = '# \nlinearized front matter'
+
+# Hybrid-reference file (PDF32000 7.5.8.4): classic xref whose trailer
+# carries /XRefStm pointing at a cross-reference STREAM whose object-4
+# row resolves to the OLD contents ("hybrid stream honored"). The
+# reference follows only /Prev and ignores the hint
+# (/root/reference/PDF.ts:31-50), so the classic table's object 4 must
+# win — this fixture pins that divergence-by-design on a real-world
+# incremental-update shape. Both content objects are present in the
+# bytes; test_handmade asserts the XRefStm text does NOT surface.
+HYBRID_XREFSTM_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 60 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (hybrid stream honored) Tj ET\nendstream\nendobj\n5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\n4 0 obj\n<< /Length 57 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (classic table wins) Tj ET\nendstream\nendobj\n6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 2 1 ] /Root 1 0 R /Length 28 >>\nstream\n\x00\x00\x00\xff\x01\x00\t\x00\x01\x00:\x00\x01\x00u\x00\x01\x00\xf5\x00\x01\x01c\x00\x01\x03\xb8\x00\nendstream\nendobj\nxref\n0 7\n0000000000 65535 f \n0000000009 00000 n \n0000000058 00000 n \n0000000117 00000 n \n0000000845 00000 n \n0000000355 00000 n \n0000000952 00000 n \ntrailer\n<< /Size 7 /Root 1 0 R /XRefStm 952 >>\nstartxref\n1075\n%%EOF\n'
+
+HYBRID_XREFSTM_EXPECTED = '# \nclassic table wins'
+
+
 HANDMADE = {
     "incremental": (INCREMENTAL_PDF, INCREMENTAL_EXPECTED),
     "mixedlen": (MIXEDLEN_PDF, MIXEDLEN_EXPECTED),
     "indirect_length": (INDIRECT_LENGTH_PDF, INDIRECT_LENGTH_EXPECTED),
     "multisubsection": (MULTISUBSECTION_PDF, MULTISUBSECTION_EXPECTED),
     "xrefstream": (XREFSTREAM_PDF, XREFSTREAM_EXPECTED),
+    "linearized": (LINEARIZED_PDF, LINEARIZED_EXPECTED),
+    "hybrid_xrefstm": (HYBRID_XREFSTM_PDF, HYBRID_XREFSTM_EXPECTED),
 }

@@ -25,6 +25,37 @@ def test_incremental_update_metadata_follows_prev_chain():
     assert updated[0]["offset"] > 1000
 
 
+def test_linearized_follows_last_startxref_then_prev_chain():
+    pdf, _ = HANDMADE["linearized"]
+    # the mid-file dummy "startxref 0" must NOT be the entry point:
+    # lastIndexOf finds the EOF marker, which leads front-xref -> /Prev
+    assert pdf.count(b"startxref") == 2
+    assert b"startxref\n0\n%%EOF" in pdf
+    meta = read_pdf(pdf, type="metadata")
+    assert meta["Size"] == 11
+    xrefs = read_pdf(pdf, type="xref")
+    in_use = {x["object_number"] for x in xrefs if x["in_use"]}
+    # front table contributes 7,8,10; main table 1,2,3; 9 is a gap
+    assert in_use == {1, 2, 3, 7, 8, 10}
+
+
+def test_hybrid_xrefstm_hint_is_ignored_like_reference():
+    pdf, expected = HANDMADE["hybrid_xrefstm"]
+    # both content objects are physically present...
+    assert b"(hybrid stream honored)" in pdf
+    assert b"(classic table wins)" in pdf
+    # ...but only the classic table's object 4 surfaces: the reference
+    # follows /Prev only (PDF.ts:31-50) and so do we
+    text = read_pdf(pdf, type="string")
+    assert text == expected
+    assert "hybrid stream honored" not in text
+    # the classic table's object-4 offset (the later copy) is live
+    xrefs = read_pdf(pdf, type="xref")
+    row4 = [x for x in xrefs if x["object_number"] == 4 and x["in_use"]][0]
+    assert pdf[row4["offset"]:row4["offset"] + 7] == b"4 0 obj"
+    assert b"(classic table wins)" in pdf[row4["offset"]:row4["offset"] + 200]
+
+
 def test_multisubsection_xref_has_gap_objects_absent():
     pdf, _ = HANDMADE["multisubsection"]
     xrefs = read_pdf(pdf, type="xref")
