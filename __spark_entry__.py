@@ -525,8 +525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     landed), (2) operators changed in round 5 (robots wildcard rules are
     in group 1 via robots_filter; WARC header writes went
     case-insensitive; the handmade corpus gained linearized + hybrid
-    /XRefStm fixtures), (3) the 46 queries last driver-sampled in r03,
-    (4) the remainder, all driver-green in r04."""
+    /XRefStm fixtures; the minhash128 family moved to the vectorized
+    numpy fold), (3) queries last driver-sampled in r03, (4) the
+    remainder, all driver-green in r04."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     # -- group 1: registered after the r04 prefix froze; never sampled --
     out["tfidf_top_terms"] = ops.tfidf_top_terms
@@ -538,6 +539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["warc_extract"] = ops.warc_extract
     out["warc_streaming"] = _warc_streaming_query
     out["extract_handmade"] = _extract_handmade_query
+    # the 128-perm sketch family moved to the vectorized numpy fold
+    out["minhash128_signatures"] = ops.minhash128_signatures
+    out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
+    out["dedup_clusters_128"] = ops.dedup_clusters_128
+    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
     # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
@@ -584,10 +590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lsh_ann_buckets"] = ops.lsh_ann_buckets
     # -- group 4: driver-green in round 4 --
     out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
-    out["minhash128_signatures"] = ops.minhash128_signatures
-    out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
-    out["dedup_clusters_128"] = ops.dedup_clusters_128
-    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
     out["url_canonicalize"] = ops.url_canonicalize
     out["url_dedup_counts"] = ops.url_dedup_counts
     out["lang_balance_sample"] = ops.lang_balance_sample

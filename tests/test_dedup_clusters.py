@@ -68,3 +68,29 @@ def test_minhash128_sketch_behavior(spark):
 
     assert bands(sig[0]) & bands(sig[2])  # near-dup: candidate pair
     assert not (bands(sig[0]) & bands(sig[3]))  # unrelated: no collision
+
+
+def test_minhash128_numpy_fold_matches_hof_fold(spark):
+    """The vectorized numpy fold (the default _minhash128_sig) and the
+    Catalyst-HOF fold are the SAME function: lane-for-lane identical on
+    awkward inputs — empty string, repeated/duplicate words, consecutive
+    spaces (split(' ') emits empty-string words), non-ASCII (md5 over
+    UTF-8 bytes), and a single-word doc."""
+    from pdfi_spark.ops.dedup import _minhash128_sig_hof, _minhash128_sig_np
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "a a b b a"),
+            (3, "x  y   z"),   # consecutive spaces -> empty-string words
+            (4, "héllo wörld ünïcode"),
+            (5, " ".join(f"w{i}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    hof = {r["doc_id"]: list(r["sig"])
+           for r in _minhash128_sig_hof(docs).collect()}
+    np_ = {r["doc_id"]: list(r["sig"])
+           for r in _minhash128_sig_np(docs).collect()}
+    assert hof == np_

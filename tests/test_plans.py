@@ -33,24 +33,40 @@ def test_simhash_has_zero_exchanges(spark):
     assert plan.count("Exchange") == 0
 
 
-def test_minhash128_signatures_one_md5_zero_exchanges(spark):
-    # 128 permutations must still cost ONE md5 per distinct word: the
-    # word digest appears once (fold input) and the signature digest
-    # once — if CollapseProject ever inlined the 128-lane fold into a
-    # downstream projection, the count would multiply
+def test_minhash128_signatures_vectorized_zero_exchanges(spark):
+    # the 128-lane fold runs in the Arrow-batched numpy mapInPandas (the
+    # word md5s happen in-Python, so only the sig_md5 digest view's one
+    # JVM md5 call site remains), the scan is pruned to doc_id+text, and
+    # the signature still never leaves the row (zero exchanges)
     plan = _plan(ops.minhash128_signatures(spark, SF))
     assert plan.count("Exchange") == 0
-    # count call sites "md5(" — the sig_md5 alias would inflate "md5"
-    assert plan.count("md5(") == 2, plan
+    assert "MapInPandas" in plan, plan
+    assert plan.count("md5(") == 1, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "doc_id" in read_schema[0], plan
+    assert "lang" not in read_schema[0] and "source" not in read_schema[0]
 
 
-def test_minhash128_banding_single_exchange_one_word_md5(spark):
-    # banding is the ONLY exchange (groupBy band,bucket); the word-level
-    # md5 appears once, plus exactly one bucket md5 per band
+def test_minhash128_hof_fold_one_md5_zero_exchanges(spark):
+    # the Catalyst-HOF twin (kept as the cross-check for the vectorized
+    # path) must still cost ONE md5 per distinct word: if CollapseProject
+    # ever inlined the 128-lane fold into a downstream projection, the
+    # count would multiply
+    from pdfi_spark.ops.dedup import _docs, _minhash128_sig_hof
+
+    plan = _plan(_minhash128_sig_hof(_docs(spark, SF)))
+    assert plan.count("Exchange") == 0
+    assert plan.count("md5(") == 1, plan
+
+
+def test_minhash128_banding_single_exchange(spark):
+    # banding is the ONLY exchange (groupBy band,bucket); exactly one
+    # bucket md5 per band on the JVM side (word md5s live in the
+    # vectorized fold)
     from pdfi_spark.ops.dedup import MINHASH128_BANDS
 
     plan = _plan(ops.minhash128_lsh_buckets(spark, SF))
-    assert plan.count("md5(") == 1 + MINHASH128_BANDS, plan
+    assert plan.count("md5(") == MINHASH128_BANDS, plan
     # AQE may report the exchange twice (pre/post reuse); assert on the
     # logical count of distinct shuffle origins instead
     assert "Exchange" in plan
