@@ -305,18 +305,35 @@ def lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOPK = 3
 
 
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _vocab_dim(dim: DataFrame, broadcast_vocab: bool) -> DataFrame:
+    """The term-frequency dimension side of the tfidf/unigram joins.
+
+    broadcast_vocab=True replicates it to every task — right when the
+    vocabulary fits the broadcast budget (a (term, double) row is ~tens
+    of bytes, so Spark's default 10 MB autoBroadcastJoinThreshold holds
+    to roughly 10^5..10^6 distinct terms; the test corpora are far
+    under). At open-web vocabulary (~10^9 terms, tens of GB) pass
+    False: the dimension then joins as an ordinary keyed shuffle join
+    (both sides exchange on term — the fact table is already
+    term-keyed from its aggregate, so AQE typically plans a shuffled
+    hash join with no extra pass over the big side)."""
+    return F.broadcast(dim) if broadcast_vocab else dim
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str,
+                    broadcast_vocab: bool = True) -> DataFrame:
     """Per-document TF-IDF keywords: (doc_id, term, score, rank) for the
     top-3 terms of every doc — the classic salience signal (topic
     tagging, keyword-based routing, near-dup explanation). Shape at
     10^12 docs: term frequencies are one keyed aggregate on
     (doc_id, term); document frequencies reuse that table (one more
-    aggregate on term); the tf-df join is keyed on term (broadcastable
-    when the vocabulary is small, as here); top-k is a per-doc window —
-    partitioned by doc_id, so no single-partition funnel. Cross-engine
-    determinism: idf = ln(n_docs/df) snapped to 9 decimals (ln is ~1ulp
-    in both engines — drift can't reach the grid), score = tf *
-    idf_snapped snapped to 6; ties rank by (score desc, term)."""
+    aggregate on term); the tf-df join is keyed on term and broadcast
+    or shuffled per ``broadcast_vocab`` (see _vocab_dim for the size
+    bound); top-k is a per-doc window — partitioned by doc_id, so no
+    single-partition funnel. Cross-engine determinism: idf =
+    ln(n_docs/df) snapped to 9 decimals (ln is ~1ulp in both engines —
+    drift can't reach the grid), score = tf * idf_snapped snapped to 6;
+    ties rank by (score desc, term)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
@@ -329,7 +346,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
     scored = (
-        tf.join(F.broadcast(df_tbl.select("term", idf.alias("idf"))),
+        tf.join(_vocab_dim(df_tbl.select("term", idf.alias("idf")),
+                           broadcast_vocab),
                 "term")
         .select(
             "doc_id", "term",
@@ -345,17 +363,19 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unigram_surprisal(spark: SparkSession, sf_dir: str,
+                      broadcast_vocab: bool = True) -> DataFrame:
     """Per-document mean unigram surprisal (nats) against the corpus
     unigram model — the self-contained analogue of CCNet's LM-perplexity
     quality filter: low surprisal = boilerplate-like/common text, high =
     rare-token or garbled text; pipelines bucket on it to drop both
     tails. Shape: one explode+aggregate builds the unigram counts, the
-    frequency table joins back broadcast (vocabulary-sized; at web scale
-    this is the classic replicated dimension), then one keyed aggregate
-    per doc. Determinism: -ln(cnt/total) snapped to 9 decimals per term
-    (ln ~1ulp both engines), the per-doc mean snapped to 6 (accumulation
-    -order drift ~1e-14 cannot reach the grid)."""
+    frequency table joins back broadcast or shuffled per
+    ``broadcast_vocab`` (see _vocab_dim for the vocabulary-size bound),
+    then one keyed aggregate per doc. Determinism: -ln(cnt/total)
+    snapped to 9 decimals per term (ln ~1ulp both engines), the per-doc
+    mean snapped to 6 (accumulation-order drift ~1e-14 cannot reach the
+    grid)."""
     docs = _docs(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
@@ -367,7 +387,8 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         words.join(
-            F.broadcast(counts.select("term", surprisal.alias("s"))),
+            _vocab_dim(counts.select("term", surprisal.alias("s")),
+                       broadcast_vocab),
             "term",
         )
         .groupBy("doc_id")

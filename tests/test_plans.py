@@ -396,6 +396,25 @@ def test_unigram_surprisal_broadcasts_the_model(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_vocab_dim_non_broadcast_shape(spark):
+    # broadcast_vocab=False is the open-web-vocabulary path (a ~10^9-term
+    # frequency table blows any broadcast budget): the term join must
+    # plan as an ordinary keyed shuffle join with NO broadcast exchange.
+    # Statistics-based auto-broadcast would still kick in on the tiny
+    # test corpus, so pin the threshold off for the duration.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op in (ops.tfidf_top_terms, ops.unigram_surprisal):
+            plan = _plan(op(spark, SF, broadcast_vocab=False))
+            assert "BroadcastHashJoin" not in plan, plan
+            assert ("SortMergeJoin" in plan
+                    or "ShuffledHashJoin" in plan), plan
+            assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_robots_filter_broadcasts_rules_no_cartesian(spark):
     # the parsed rules dimension is host-count-sized and must come back
     # as a broadcast join onto the canonicalized pages
