@@ -544,6 +544,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
     out["dedup_clusters_128"] = ops.dedup_clusters_128
     out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
+    # NEW in round 5: anchor-text index, politeness frontier scheduling,
+    # paragraph-level dedup, token-budget shard packing
+    out["anchor_text_index"] = ops.anchor_text_index
+    out["frontier_schedule"] = ops.frontier_schedule
+    out["paragraph_dedup"] = ops.paragraph_dedup
+    out["pack_training_shards"] = ops.pack_training_shards
     # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
@@ -1368,6 +1374,15 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT dst, count(*) AS in_degree, min(src) AS min_src "
           "FROM edges GROUP BY dst"
     )
+    # anchor text is planted as 'document {target}' by build_linked_page,
+    # so the inbound-anchor rollup is closed-form over the same edges
+    out["anchor_text_index"] = (
+        _edges_cte
+        + "SELECT dst, count(*) AS n_inlinks, "
+          "count(DISTINCT src) AS n_unique_srcs, "
+          "min('document ' || dst) AS top_anchor, "
+          "min(src) AS first_src FROM edges GROUP BY dst"
+    )
     # pagerank: unroll the power iteration (ranks snapped to 12 decimals
     # per iterate in BOTH engines, so the fixpoint path is cross-engine
     # exact — same determinism trick as the Lloyd/kmeans oracle)
@@ -1534,6 +1549,27 @@ def oracle_sql() -> dict[str, str]:
         "AS allowed, "
         f"CASE {_robots_prefix} ELSE NULL END AS matched_prefix FROM pg"
     )
+    # frontier scheduling: allowed verdicts + per-host row_number * the
+    # Crawl-delay parsed from the SAME fixtures (1.0 default)
+    from pdfi_spark.core.robots import crawl_delay as _crawl_delay
+
+    _delay_case = " ".join(
+        f"WHEN host = '{h}' THEN {float(_crawl_delay(t) or 1.0)!r}"
+        for h, t in _RTXT.items()
+    )
+    out["frontier_schedule"] = (
+        _canon_cte + ", pg AS (SELECT doc_id, "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+        "regexp_extract(canon_url, '^[a-z]+://[^/?#]*([^?#]*)', 1) AS path "
+        "FROM canon), "
+        f"ok AS (SELECT doc_id, host FROM pg WHERE "
+        f"CASE {_robots_allowed} ELSE true END), "
+        "sched AS (SELECT doc_id, host, row_number() OVER "
+        "(PARTITION BY host ORDER BY doc_id) - 1 AS fetch_order FROM ok) "
+        "SELECT doc_id, host, fetch_order, "
+        f"round(fetch_order * (CASE {_delay_case} ELSE 1.0 END), 3) "
+        "AS scheduled_sec FROM sched"
+    )
     # span census: boilerplate spans are probe-derived skeleton constants,
     # the content span is the text column — fully closed-form both sides
     from pdfi_spark.ops.webtext import SPAN_BOILER_BLOCKS, SPAN_CONTENT_IDX
@@ -1551,6 +1587,30 @@ def oracle_sql() -> dict[str, str]:
         "text AS block_text, "
         "len(string_split(text, ' '))::INTEGER AS n_words, "
         "true AS is_content FROM documents"
+    )
+    from pdfi_spark.ops.textstats import SHARD_TOKEN_BUDGET
+    from pdfi_spark.ops.webtext import PARAGRAPH_WORDS
+
+    out["paragraph_dedup"] = (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        f"lines AS (SELECT doc_id, unnest(range(0, len(ws), {PARAGRAPH_WORDS})) AS start, ws FROM s), "
+        "paras AS (SELECT doc_id, array_to_string(list_slice(ws, start + 1, "
+        f"start + {PARAGRAPH_WORDS}), ' ') AS para FROM lines) "
+        "SELECT para, count(*) AS n_occurrences, "
+        "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc "
+        "FROM paras GROUP BY para"
+    )
+    # the oracle is the NAIVE global-window prefix sum; the Spark side's
+    # two-pass distributed prefix sum must equal it bit-for-bit (exact
+    # integer addition)
+    out["pack_training_shards"] = (
+        "WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT "
+        "AS n_tokens FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+        "PRECEDING), 0)::BIGINT AS cum_before FROM t) "
+        f"SELECT doc_id, n_tokens, (cum_before // {SHARD_TOKEN_BUDGET})"
+        "::BIGINT AS shard_id FROM c"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -110,7 +110,7 @@ def parse_robots(text: str) -> list[dict]:
         value = value.strip()
         if field == "user-agent":
             if not agents_open:
-                current = {"agents": [], "rules": []}
+                current = {"agents": [], "rules": [], "delay": None}
                 groups.append(current)
                 agents_open = True
             current["agents"].append(value.lower())
@@ -123,27 +123,47 @@ def parse_robots(text: str) -> list[dict]:
                 # meaningless — neither emits a rule
                 continue
             current["rules"].append((field == "allow", value))
+        elif field == "crawl-delay":
+            agents_open = False
+            if current is not None:
+                try:
+                    current["delay"] = float(value)
+                except ValueError:
+                    pass  # garbage delay: ignored like any unknown field
         else:
-            agents_open = False  # Crawl-delay etc.: ends the agent run
+            agents_open = False  # Sitemap etc.: ends the agent run
     return groups
 
 
-def rules_for(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+def _group_for(text: str, agent: str = "*") -> dict | None:
     """Select the group for ``agent``: the longest agent token that is a
-    prefix of ``agent`` wins, else the ``*`` group, else no rules."""
+    prefix of ``agent`` wins, else the ``*`` group, else None."""
     agent = agent.lower()
-    best: tuple[int, list] | None = None
-    star: list | None = None
+    best: tuple[int, dict] | None = None
+    star: dict | None = None
     for g in parse_robots(text):
         for a in g["agents"]:
             if a == "*":
-                star = g["rules"] if star is None else star
+                star = g if star is None else star
             elif agent.startswith(a):
                 if best is None or len(a) > best[0]:
-                    best = (len(a), g["rules"])
+                    best = (len(a), g)
     if best is not None:
-        return list(best[1])
-    return list(star) if star is not None else []
+        return best[1]
+    return star
+
+
+def rules_for(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    g = _group_for(text, agent)
+    return list(g["rules"]) if g is not None else []
+
+
+def crawl_delay(text: str, agent: str = "*") -> float | None:
+    """The selected group's Crawl-delay in seconds, or None. Not part of
+    RFC 9309, but real robots.txt carries it and polite crawlers honor
+    it (the frontier scheduler defaults hosts without one to 1 s)."""
+    g = _group_for(text, agent)
+    return g["delay"] if g is not None else None
 
 
 def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:

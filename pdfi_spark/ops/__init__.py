@@ -24,9 +24,11 @@ from .similarity import (
     ivf_topk,
     lsh_ann_buckets,
 )
-from .webtext import (corpus_build_counts, html_block_stats,
+from .webtext import (anchor_text_index, corpus_build_counts,
+                      frontier_schedule, html_block_stats,
                       html_content_spans,
                       html_main_content, html_outlinks,
+                      paragraph_dedup,
                       link_graph_degrees, link_graph_pagerank,
                       link_graph_pagerank_dangling,
                       host_stats, read_warc_pages, robots_filter,
@@ -44,6 +46,7 @@ from .textstats import (
     lang_balance_sample,
     tfidf_top_terms,
     unigram_surprisal,
+    pack_training_shards,
     pii_scrub,
     lang_id_ngram,
     lang_stopword_counts,
@@ -56,7 +59,9 @@ __all__ = [
     "minhash_signatures", "minhash_lsh_buckets",
     "minhash128_signatures", "minhash128_lsh_buckets",
     "minhash128_jaccard_estimates", "simhash",
-    "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub", "cosine_topk", "cosine_adjacent_pairs",
+    "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub",
+    "anchor_text_index", "frontier_schedule", "paragraph_dedup",
+    "pack_training_shards", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "lang_balance_sample", "tfidf_top_terms", "unigram_surprisal", "media_metadata", "media_features",

@@ -399,6 +399,72 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     )
 
 
+SHARD_TOKEN_BUDGET = 1000
+SHARD_CHUNKS = 8
+
+
+def pack_training_shards(spark: SparkSession, sf_dir: str,
+                         budget: int = SHARD_TOKEN_BUDGET) -> DataFrame:
+    """Token-budget shard packing — the sequence-packing pass that turns
+    a cleaned corpus into fixed-token-budget training shards: shard_id =
+    floor(prefix_tokens_before_doc / budget) over doc_id order (greedy
+    packing, the standard pre-tokenization layout step).
+
+    The interesting part is the SHAPE: a naive formulation is one global
+    window (ORDER BY doc_id with no partition) — an
+    Exchange-SinglePartition over the whole corpus, the canonical
+    scale-killer. This runs the classic DISTRIBUTED PREFIX SUM instead:
+    (1) closed-form chunk = doc_id / chunk_span (deterministic range
+    partitioning without a sampling pass); (2) per-chunk token totals —
+    one tiny keyed aggregate (SHARD_CHUNKS rows); (3) exclusive running
+    offsets across chunks — a window over those few rows only (the one
+    single-partition exchange, on a dimension-sized input); (4) offsets
+    broadcast back and added to a within-chunk running sum (window
+    PARTITIONED BY chunk). Arithmetic is exact integer addition, so the
+    two-pass sum equals the global prefix sum bit-for-bit — the DuckDB
+    oracle is the naive global window. Plan shape (no full-data
+    single-partition exchange, broadcast offsets) is pinned in
+    tests/test_plans.py."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # parquet metadata count-star
+    span = max(1, -(-n_docs // SHARD_CHUNKS))  # ceil
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.expr(f"doc_id div {span}").alias("chunk"),
+    )
+    chunk_w = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        toks.groupBy("chunk").agg(F.sum("n_tokens").alias("chunk_tokens"))
+        .select(
+            "chunk",
+            F.coalesce(F.sum("chunk_tokens").over(chunk_w), F.lit(0))
+            .alias("chunk_offset"),
+        )
+    )
+    doc_w = Window.partitionBy("chunk").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = toks.join(F.broadcast(offsets), "chunk").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("chunk_offset")
+         + F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0)))
+        .alias("cum_before"),
+    )
+    # `div` = exact integral division (no double round-trip; prefix sums
+    # at 100 TB approach the double mantissa)
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"cum_before div {int(budget)}").alias("shard_id"),
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
 

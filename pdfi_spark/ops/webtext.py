@@ -22,7 +22,7 @@ extraction in pipeline.py.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -320,6 +320,128 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verdict
+
+
+def anchor_text_index(spark: SparkSession, sf_dir: str,
+                      n_docs: int | None = None) -> DataFrame:
+    """Inbound anchor-text aggregation — the classic web-graph relevance
+    signal (what OTHER pages call a document; search engines and
+    LLM-data quality filters both consume it). Citation anchors are
+    parsed from the generated pages exactly like html_outlinks (narrow
+    Arrow-batched mapInPandas, edge fan-out inside the UDF, zero
+    exchanges), then ONE hash-aggregate keyed on dst rolls up
+    (n_inlinks, n_unique_srcs, top_anchor, first_src). max_by on
+    (count...)? — anchors here are deterministic per target, so
+    top_anchor = min(anchor) is exact and cross-engine stable; a
+    production index keeps a per-(dst, anchor) count first. At 10^12
+    edges this is one keyed exchange with map-side partials, same shape
+    as link_graph_degrees."""
+    base = _base(spark, sf_dir)
+    if n_docs is None:
+        n_docs = base.count()  # parquet metadata count-star
+
+    def run(iterator):
+        for batch in iterator:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                page, _ = build_linked_page(
+                    int(doc_id), n_docs, text, per_block=ORACLE_PER_BLOCK
+                )
+                for link in parse_links(page):
+                    href = link["href"]
+                    if href.startswith("/doc/"):
+                        rows.append({
+                            "src": int(doc_id),
+                            "dst": int(href[5:]),
+                            "anchor": link["text"],
+                        })
+            yield pd.DataFrame(rows, columns=["src", "dst", "anchor"])
+
+    edges = base.mapInPandas(
+        run, schema="src long, dst long, anchor string"
+    )
+    return edges.groupBy("dst").agg(
+        F.count("*").alias("n_inlinks"),
+        F.countDistinct("src").alias("n_unique_srcs"),
+        F.min("anchor").alias("top_anchor"),
+        F.min("src").alias("first_src"),
+    )
+
+
+def frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: robots-allowed pages
+    are ordered per host (fetch_order) and assigned a scheduled_sec =
+    fetch_order * crawl_delay(host), the dispatch plan a polite fetcher
+    executes (RFC 9309 has no Crawl-delay, but real robots.txt carries
+    it and crawlers honor it; hosts without one get a 1 s default).
+    Shape at 10^12 URLs: the verdict filter reuses robots_filter
+    (broadcast rules dimension), the ordering is a window PARTITIONED BY
+    host — fetches from one host are inherently serial (that is what
+    politeness means), so the per-host partition is the natural unit and
+    there is no single-partition funnel; the delay dimension is
+    host-count-sized and broadcast."""
+    from ..core.robots import ROBOTS_TXT, crawl_delay
+
+    verdicts = robots_filter(spark, sf_dir)
+    delays = spark.createDataFrame(
+        [(h, float(crawl_delay(t) or 1.0)) for h, t in ROBOTS_TXT.items()],
+        "host string, delay double",
+    )
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        verdicts.filter(F.col("allowed"))
+        .join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "fetch_order", (F.row_number().over(w) - 1).cast("long")
+        )
+        .select(
+            "doc_id",
+            "host",
+            "fetch_order",
+            F.round(
+                F.col("fetch_order") * F.coalesce("delay", F.lit(1.0)), 3
+            ).alias("scheduled_sec"),
+        )
+    )
+
+
+PARAGRAPH_WORDS = 8
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-paragraph census — the paragraph-level
+    half of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better": boilerplate paragraphs recur across MANY documents
+    (exact-match at paragraph granularity catches what doc-level dedup
+    cannot). Documents split into fixed 8-word lines (the same
+    closed-form liner as layout_lines_window, so the oracle is exact),
+    then ONE hash-aggregate keyed on the paragraph text: (n_occurrences,
+    n_docs, first_doc). The explode multiplies rows ~word_count/8 but
+    stays narrow (no shuffle until the keyed aggregate, which has
+    map-side partials); at 100 TB the group key would be
+    xxhash64(paragraph) with a sample text kept via min — noted, not
+    silently swapped."""
+    docs = _base(spark, sf_dir)
+    ws = F.split("text", " ")
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(ws) - 1) / PARAGRAPH_WORDS).cast("int"),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(ws, i * PARAGRAPH_WORDS + 1, PARAGRAPH_WORDS)
+                ),
+            )
+        ).alias("para"),
+    )
+    return lines.groupBy("para").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
 
 
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Value-level semantics of the round-5 crawl/training-data operators
+(cross-engine equality lives in the DuckDB oracle gate; these pin the
+hand-computable contracts)."""
+from pyspark.sql import functions as F
+
+from pdfi_spark import ops
+from pdfi_spark.ops.textstats import SHARD_TOKEN_BUDGET
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_crawl_delay_parsing():
+    from pdfi_spark.core.robots import ROBOTS_TXT, crawl_delay
+
+    assert crawl_delay(ROBOTS_TXT["example.com"]) == 2.0
+    assert crawl_delay(ROBOTS_TXT["www.example.com"]) is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: 0.5\n") == 0.5
+    assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
+    assert crawl_delay("") is None
+
+
+def test_frontier_schedule_spacing_and_politeness(spark):
+    rows = ops.frontier_schedule(spark, SF).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    # example.com declares Crawl-delay: 2 -> fetches spaced 2s apart;
+    # www.example.com has none -> 1s default
+    for host, delay in (("example.com", 2.0), ("www.example.com", 1.0)):
+        hr = sorted(by_host[host], key=lambda r: r.fetch_order)
+        assert [r.fetch_order for r in hr] == list(range(len(hr)))
+        assert all(r.scheduled_sec == r.fetch_order * delay for r in hr)
+        # per-host order follows doc_id (the frontier's stable order)
+        ids = [r.doc_id for r in hr]
+        assert ids == sorted(ids)
+    # robots verdicts are respected: no scheduled page may be disallowed
+    verdicts = {
+        r.doc_id: r.allowed for r in ops.robots_filter(spark, SF).collect()
+    }
+    assert all(verdicts[r.doc_id] for r in rows)
+    assert not all(verdicts.values())  # the filter actually dropped some
+
+
+def test_pack_training_shards_matches_naive_prefix_sum(spark):
+    # the two-pass distributed prefix sum must equal the naive global
+    # scan, and greedy packing means every shard BOUNDARY doc starts
+    # because the previous shard crossed the budget
+    rows = sorted(
+        ops.pack_training_shards(spark, SF).collect(),
+        key=lambda r: r.doc_id,
+    )
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // SHARD_TOKEN_BUDGET
+        cum += r.n_tokens
+    # shards are contiguous, start at 0, and each holds >= 1 doc
+    shard_ids = [r.shard_id for r in rows]
+    assert shard_ids[0] == 0
+    assert shard_ids == sorted(shard_ids)
+    assert set(shard_ids) == set(range(max(shard_ids) + 1))
+
+
+def test_anchor_text_index_matches_planted_graph(spark):
+    from pdfi_spark.core.htmlgen import outlink_targets
+
+    n_docs = 500
+    rows = {r.dst: r for r in
+            ops.anchor_text_index(spark, SF, n_docs=n_docs).collect()}
+    # rebuild the planted in-link census in pure Python
+    inlinks = {}
+    for src in range(n_docs):
+        for dst in outlink_targets(src, n_docs):
+            inlinks.setdefault(dst, []).append(src)
+    assert set(rows) == set(inlinks)
+    for dst, srcs in inlinks.items():
+        r = rows[dst]
+        assert r.n_inlinks == len(srcs)
+        assert r.n_unique_srcs == len(set(srcs))
+        assert r.first_src == min(srcs)
+        assert r.top_anchor == f"document {dst}"
+
+
+def test_paragraph_dedup_counts_planted_repeats(spark):
+    res = ops.paragraph_dedup(spark, SF)
+    # every 8-word line of every doc is accounted for exactly once
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_lines = docs.select(
+        F.ceil(F.size(F.split("text", " ")) / 8).alias("n")
+    ).agg(F.sum("n")).first()[0]
+    assert res.agg(F.sum("n_occurrences")).first()[0] == n_lines
+    # the synthetic corpus shares a small vocabulary: some paragraphs
+    # genuinely repeat across documents (the signal this op exists for)
+    assert res.filter(F.col("n_docs") > 1).count() > 0
+    assert res.filter(F.col("first_doc").isNull()).count() == 0

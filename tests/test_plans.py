@@ -415,6 +415,51 @@ def test_vocab_dim_non_broadcast_shape(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_pack_training_shards_distributed_prefix_sum_shape(spark):
+    # the single-partition exchange must sit on the CHUNK-SUMS side only
+    # (SHARD_CHUNKS rows, under the broadcast), never on the full data:
+    # the big side's window is partitioned by chunk, and the offsets come
+    # back as a broadcast join
+    plan = _plan(ops.pack_training_shards(spark, SF))
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    single = plan.index("Exchange SinglePartition")
+    bcast = plan.index("BroadcastExchange")
+    assert bcast < single, "single-partition exchange is not on the tiny side"
+    assert "windowspecdefinition(chunk#" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frontier_schedule_per_host_window_broadcast_delays(spark):
+    # ordering is per-host (politeness makes a host inherently serial):
+    # no global-order window, delays dimension broadcast
+    plan = _plan(ops.frontier_schedule(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "windowspecdefinition(host#" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anchor_text_index_single_keyed_exchange(spark):
+    # anchor parse is a narrow mapInPandas; the rollup is ONE keyed
+    # aggregate on dst (map-side partials)
+    plan = _plan(ops.anchor_text_index(spark, SF, n_docs=500))
+    assert "MapInPandas" in plan
+    assert plan.count("hashpartitioning") <= 2, plan  # agg (+AQE reuse)
+    assert "CartesianProduct" not in plan
+
+
+def test_paragraph_dedup_narrow_explode_one_aggregate(spark):
+    # the line explode is narrow (no shuffle before the keyed aggregate)
+    # and entirely JVM-side — no Python stage
+    plan = _plan(ops.paragraph_dedup(spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "Generate explode" in plan, plan
+    assert plan.count("hashpartitioning") <= 2, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "lang" not in read_schema[0]
+
+
 def test_robots_filter_broadcasts_rules_no_cartesian(spark):
     # the parsed rules dimension is host-count-sized and must come back
     # as a broadcast join onto the canonicalized pages
