@@ -141,6 +141,10 @@ def main() -> int:
         "lang_balance_sample": ops.lang_balance_sample,
         "tfidf_top_terms": ops.tfidf_top_terms,
         "unigram_surprisal": ops.unigram_surprisal,
+        "anchor_text_index": ops.anchor_text_index,
+        "frontier_schedule": ops.frontier_schedule,
+        "paragraph_dedup": ops.paragraph_dedup,
+        "pack_training_shards": ops.pack_training_shards,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",
