@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["frontier_schedule"] = ops.frontier_schedule
     out["paragraph_dedup"] = ops.paragraph_dedup
     out["pack_training_shards"] = ops.pack_training_shards
+    out["bigram_surprisal"] = ops.bigram_surprisal
     # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
@@ -1599,6 +1600,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT para, count(*) AS n_occurrences, "
         "count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc "
         "FROM paras GROUP BY para"
+    )
+    out["bigram_surprisal"] = (
+        "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "idx AS (SELECT doc_id, unnest(range(2, len(ws) + 1)) AS i, ws FROM s), "
+        "big AS (SELECT doc_id, ws[i - 1] AS prev, ws[i] AS term FROM idx), "
+        "c2 AS (SELECT prev, term, count(*) AS c2 FROM big GROUP BY prev, term), "
+        "c1 AS (SELECT prev, count(*) AS c1 FROM big GROUP BY prev), "
+        "m AS (SELECT prev, term, round(-ln(c2::DOUBLE / c1), 9) AS s "
+        "FROM c2 JOIN c1 USING (prev)) "
+        "SELECT doc_id, round(avg(s), 6) AS mean_surprisal, "
+        "count(*) AS n_bigrams FROM big JOIN m USING (prev, term) "
+        "GROUP BY doc_id"
     )
     # the oracle is the NAIVE global-window prefix sum; the Spark side's
     # two-pass distributed prefix sum must equal it bit-for-bit (exact

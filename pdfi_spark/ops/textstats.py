@@ -399,6 +399,46 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     )
 
 
+def bigram_surprisal(spark: SparkSession, sf_dir: str,
+                     broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document mean CONDITIONAL surprisal -ln p(w2|w1) against the
+    corpus bigram model — one rung up from unigram_surprisal toward
+    CCNet's LM-perplexity filter (a conditional model scores garbled
+    word ORDER, which unigram frequency cannot see). Bigrams are built
+    NARROWLY per row (zip_with over two shifted slices of the word
+    array — no per-doc window, no exchange before the aggregates), the
+    model is two keyed aggregates (c(w1,w2) and c(w1·) over bigram
+    positions), and the dimension joins back broadcast or shuffled per
+    ``broadcast_vocab`` (see _vocab_dim). Docs with fewer than two words
+    have no bigram and drop out (mirrored in the oracle). Determinism:
+    -ln(c2/c1) snapped to 9 decimals, per-doc mean snapped to 6 — same
+    grid argument as unigram_surprisal."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("prev"), b.alias("term")),
+    )
+    big = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg.prev", "bg.term"
+    )
+    c2 = big.groupBy("prev", "term").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("prev").agg(F.count("*").alias("c1"))
+    surprisal = F.round(
+        -F.log(F.col("c2").cast("double") / F.col("c1")), 9
+    )
+    model = c2.join(c1, "prev").select("prev", "term", surprisal.alias("s"))
+    return (
+        big.join(_vocab_dim(model, broadcast_vocab), ["prev", "term"])
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("s"), 6).alias("mean_surprisal"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 SHARD_TOKEN_BUDGET = 1000
 SHARD_CHUNKS = 8
 

@@ -80,6 +80,34 @@ def test_anchor_text_index_matches_planted_graph(spark):
         assert r.top_anchor == f"document {dst}"
 
 
+def test_bigram_surprisal_semantics(spark):
+    import math
+
+    from pdfi_spark.ops.textstats import bigram_surprisal
+    from pdfi_spark.ops import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b x"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    orig = textstats._docs
+    textstats._docs = lambda s, d: docs
+    try:
+        rows = {r.doc_id: r for r in bigram_surprisal(spark, "x").collect()}
+    finally:
+        textstats._docs = orig
+    # corpus bigrams: a>b x4 (of 5 'a·'... wait: a-starts = 4), b>a x2,
+    # b>x x1. c(a·)=4 (doc0 x3 + doc1 x1), all 'a b' -> -ln(4/4)=0;
+    # c(b·)=3: b>a -> -ln(2/3), b>x -> -ln(1/3)
+    assert rows[0].n_bigrams == 5
+    exp0 = round((0 * 3 + round(-math.log(2 / 3), 9) * 2) / 5, 6)
+    assert rows[0].mean_surprisal == exp0
+    assert rows[1].n_bigrams == 2
+    exp1 = round((0 + round(-math.log(1 / 3), 9)) / 2, 6)
+    assert rows[1].mean_surprisal == exp1
+    assert 2 not in rows  # single-word doc has no bigram
+
+
 def test_paragraph_dedup_counts_planted_repeats(spark):
     res = ops.paragraph_dedup(spark, SF)
     # every 8-word line of every doc is accounted for exactly once

@@ -405,7 +405,8 @@ def test_vocab_dim_non_broadcast_shape(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for op in (ops.tfidf_top_terms, ops.unigram_surprisal):
+        for op in (ops.tfidf_top_terms, ops.unigram_surprisal,
+                   ops.bigram_surprisal):
             plan = _plan(op(spark, SF, broadcast_vocab=False))
             assert "BroadcastHashJoin" not in plan, plan
             assert ("SortMergeJoin" in plan
@@ -413,6 +414,17 @@ def test_vocab_dim_non_broadcast_shape(spark):
             assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bigram_surprisal_narrow_bigrams_no_window(spark):
+    # bigrams come from zip_with over shifted slices INSIDE the row — no
+    # per-doc window (and so no doc_id exchange) before the keyed
+    # aggregates; the model comes back broadcast
+    plan = _plan(ops.bigram_surprisal(spark, SF))
+    assert "Window" not in plan, plan
+    assert "zip_with" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_pack_training_shards_distributed_prefix_sum_shape(spark):
