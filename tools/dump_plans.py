@@ -32,10 +32,11 @@ CASES = [
      "single Exchange: the groupBy(band, bucket) — coding is narrow",
      None),
     ("minhash128_signatures",
-     "zero Exchange AND still one md5 per word at 128 permutations: the "
-     "universal-hash lanes ((a*h+b) mod 2^31-1 against a literal "
-     "params array) fold in-row over the four 32-bit lanes of the "
-     "single word digest",
+     "zero Exchange, still one md5 per distinct word: the 128-lane fold "
+     "runs in the Arrow-batched numpy mapInPandas (hashlib digest loop + "
+     "frombuffer lanes + minimum.reduceat — bit-identical to the "
+     "Catalyst-HOF twin, 2.1x faster: HOF lambdas never enter codegen); "
+     "scan pruned to doc_id+text",
      None),
     ("minhash128_lsh_buckets",
      "single Exchange: 16-band banding explodes in-row (16 band-key "
@@ -95,6 +96,28 @@ CASES = [
      "a narrow filter — no per-language Window/rank (which would be "
      "one partition per language at 10^12 rows)",
      None),
+    ("pack_training_shards",
+     "distributed prefix sum: the only Exchange SinglePartition sits on "
+     "the SHARD_CHUNKS-row chunk-sums side (inside the "
+     "BroadcastExchange); the full-data window is partitioned by chunk "
+     "and the offsets come back as a broadcast join — never a "
+     "global-order window over the corpus",
+     None),
+    ("frontier_schedule",
+     "per-host window (politeness makes a host inherently serial) over "
+     "robots-allowed pages; rules and Crawl-delay dimensions broadcast; "
+     "no global-order window, no cartesian",
+     None),
+    ("bigram_surprisal",
+     "bigrams built in-row by zip_with over two shifted slices (no "
+     "per-doc window, zero Exchange before the model aggregates); the "
+     "bigram model joins back as a BroadcastHashJoin (broadcast_vocab "
+     "switch for open-web vocabulary)",
+     None),
+    ("paragraph_dedup",
+     "narrow in-row line explode (JVM-side, no Python) into exactly one "
+     "keyed hash-aggregate Exchange on the paragraph text",
+     None),
 ]
 
 
@@ -148,6 +171,10 @@ def main() -> int:
             "link_graph_pagerank_dangling": "link_graph_pagerank_dangling",
             "url_canonicalize": "url_canonicalize",
             "lang_balance_sample": "lang_balance_sample",
+            "pack_training_shards": "pack_training_shards",
+            "frontier_schedule": "frontier_schedule",
+            "bigram_surprisal": "bigram_surprisal",
+            "paragraph_dedup": "paragraph_dedup",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
