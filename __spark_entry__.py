@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["paragraph_dedup"] = ops.paragraph_dedup
     out["pack_training_shards"] = ops.pack_training_shards
     out["bigram_surprisal"] = ops.bigram_surprisal
+    out["crawl_diff"] = ops.crawl_diff
     # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
@@ -1499,6 +1500,22 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup_streaming"] = (
         _canon_cte + " SELECT canon_url, count(*) AS n_docs, "
         "min(doc_id) AS keep_id FROM canon GROUP BY canon_url"
+    )
+    out["crawl_diff"] = (
+        "WITH n AS (SELECT count(*) AS n FROM documents), "
+        "old AS (SELECT 'https://example.org/page/' || doc_id AS url, "
+        "md5(text) AS old_digest FROM documents, n "
+        "WHERE doc_id < (n.n * 0.8)::BIGINT), "
+        "new AS (SELECT 'https://example.org/page/' || doc_id AS url, "
+        "md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' "
+        "ELSE text END) AS new_digest FROM documents, n "
+        "WHERE doc_id >= (n.n * 0.2)::BIGINT) "
+        "SELECT coalesce(old.url, new.url) AS url, "
+        "CASE WHEN new_digest IS NULL THEN 'gone' "
+        "WHEN old_digest IS NULL THEN 'new' "
+        "WHEN old_digest = new_digest THEN 'unchanged' "
+        "ELSE 'changed' END AS status "
+        "FROM old FULL OUTER JOIN new ON old.url = new.url"
     )
     out["host_stats"] = (
         _canon_cte + ", h AS (SELECT "

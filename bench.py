@@ -146,6 +146,7 @@ def main() -> int:
         "paragraph_dedup": ops.paragraph_dedup,
         "pack_training_shards": ops.pack_training_shards,
         "bigram_surprisal": ops.bigram_surprisal,
+        "crawl_diff": ops.crawl_diff,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

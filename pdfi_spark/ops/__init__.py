@@ -25,6 +25,7 @@ from .similarity import (
     lsh_ann_buckets,
 )
 from .webtext import (anchor_text_index, corpus_build_counts,
+                      crawl_diff,
                       frontier_schedule, html_block_stats,
                       html_content_spans,
                       html_main_content, html_outlinks,
@@ -62,6 +63,7 @@ __all__ = [
     "minhash128_jaccard_estimates", "simhash",
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub",
     "anchor_text_index", "frontier_schedule", "paragraph_dedup",
+    "crawl_diff",
     "pack_training_shards", "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",

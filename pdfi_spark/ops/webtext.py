@@ -444,6 +444,44 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot crawl diff — what a pipeline runs between two
+    monthly crawls to fetch/process only what moved: per URL, status in
+    {new, gone, changed, unchanged} from a FULL OUTER join of the two
+    snapshots' content digests. Snapshots are derived deterministically
+    from the corpus (old = first 80% of doc_ids, new = last 80%, every
+    5th doc's text amended), so the DuckDB twin rebuilds both sides
+    closed-form. Scale shape: full outer can never broadcast (both
+    sides must surface non-matches), so this is the one keyed
+    SortMergeJoin in the inventory — at 10^12 URLs both sides shuffle
+    once on the join key and stream merge; digests are md5 computed
+    in-row (narrow)."""
+    docs = _base(spark, sf_dir)
+    n = docs.count()  # parquet metadata count-star
+    lo, hi = int(n * 0.2), int(n * 0.8)
+    url = F.concat(F.lit("https://example.org/page/"),
+                   F.col("doc_id").cast("string"))
+    old = docs.filter(F.col("doc_id") < hi).select(
+        url.alias("url"), F.md5("text").alias("old_digest")
+    )
+    new = docs.filter(F.col("doc_id") >= lo).select(
+        url.alias("url"),
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" updated")))
+            .otherwise(F.col("text"))
+        ).alias("new_digest"),
+    )
+    joined = old.join(new, "url", "full_outer")
+    status = (
+        F.when(F.col("new_digest").isNull(), "gone")
+        .when(F.col("old_digest").isNull(), "new")
+        .when(F.col("old_digest") == F.col("new_digest"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select("url", status.alias("status"))
+
+
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl census over canonicalized URLs: (host, n_pages,
     n_canon_urls) — the politeness/coverage report every crawl keeps

@@ -108,6 +108,22 @@ def test_bigram_surprisal_semantics(spark):
     assert 2 not in rows  # single-word doc has no bigram
 
 
+def test_crawl_diff_statuses(spark):
+    rows = {r.url: r.status for r in ops.crawl_diff(spark, SF).collect()}
+    assert len(rows) == 500
+    base = "https://example.org/page/"
+    # first 20% only in the old crawl; last 20% only in the new one
+    assert rows[base + "0"] == "gone" and rows[base + "99"] == "gone"
+    assert rows[base + "400"] == "new" and rows[base + "499"] == "new"
+    # overlap: every 5th doc's content was amended
+    assert rows[base + "200"] == "changed"
+    assert rows[base + "201"] == "unchanged"
+    from collections import Counter
+    c = Counter(rows.values())
+    assert c == {"gone": 100, "new": 100,
+                 "changed": 60, "unchanged": 240}, c
+
+
 def test_paragraph_dedup_counts_planted_repeats(spark):
     res = ops.paragraph_dedup(spark, SF)
     # every 8-word line of every doc is accounted for exactly once

@@ -472,6 +472,16 @@ def test_paragraph_dedup_narrow_explode_one_aggregate(spark):
     assert read_schema and "lang" not in read_schema[0]
 
 
+def test_crawl_diff_full_outer_sort_merge(spark):
+    # full outer can never broadcast (both sides must surface
+    # non-matches): the diff must be one keyed SortMergeJoin, digests
+    # computed in-row before the shuffle
+    plan = _plan(ops.crawl_diff(spark, SF))
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_robots_filter_broadcasts_rules_no_cartesian(spark):
     # the parsed rules dimension is host-count-sized and must come back
     # as a broadcast join onto the canonicalized pages
