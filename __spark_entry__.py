@@ -492,6 +492,16 @@ def _url_dedup_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _frontier_streaming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pdfi_spark.streaming import frontier_schedule_streaming
+
+    return frontier_schedule_streaming(
+        spark, sf_dir, query_name=f"frontier_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def _streaming_dedup_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
@@ -552,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pack_training_shards"] = ops.pack_training_shards
     out["bigram_surprisal"] = ops.bigram_surprisal
     out["crawl_diff"] = ops.crawl_diff
+    out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 --
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
@@ -1588,6 +1599,9 @@ def oracle_sql() -> dict[str, str]:
         f"round(fetch_order * (CASE {_delay_case} ELSE 1.0 END), 3) "
         "AS scheduled_sec FROM sched"
     )
+    # the streaming twin's per-host GroupState counter must converge to
+    # the SAME schedule (arrival order pinned to doc_id order)
+    out["frontier_schedule_streaming"] = out["frontier_schedule"]
     # span census: boilerplate spans are probe-derived skeleton constants,
     # the content span is the text column — fully closed-form both sides
     from pdfi_spark.ops.webtext import SPAN_BOILER_BLOCKS, SPAN_CONTENT_IDX

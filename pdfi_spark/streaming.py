@@ -250,6 +250,91 @@ def url_dedup_streaming(spark: SparkSession, sf_dir: str,
     )
 
 
+def frontier_schedule_streaming(spark: SparkSession, sf_dir: str,
+                                query_name: str = "frontier_stream",
+                                n_input_files: int = 4) -> DataFrame:
+    """Continuous politeness scheduler: the streaming twin of
+    ops.webtext.frontier_schedule. Robots-allowed pages arrive in
+    micro-batches; per-host GroupState keeps the running fetch counter,
+    so fetch_order/scheduled_sec keep advancing ACROSS batches (a live
+    frontier never restarts its per-host clock). Crawl-delays come from
+    the same core.robots fixtures (driver-computed dict, closed over by
+    the Arrow UDF — production would broadcast the robots dimension).
+
+    Unlike the dedup ledgers (order-insensitive count/min), this
+    operator's semantics are ORDER-SENSITIVE, so arrival order is
+    pinned two ways: input files are written as doc_id RANGE splits in
+    separate sequential jobs (strictly increasing mtimes — the file
+    stream source processes oldest-first, maxFilesPerTrigger=1), and
+    rows are sorted by doc_id inside each batch's group. The final
+    table then equals the batch operator exactly — which is what makes
+    it oracle-checkable against the same SQL."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .core.robots import ROBOTS_TXT, crawl_delay
+    from .ops.webtext import robots_filter
+
+    delays = {h: float(crawl_delay(t) or 1.0) for h, t in ROBOTS_TXT.items()}
+
+    allowed = robots_filter(spark, sf_dir).filter(F.col("allowed")).select(
+        "doc_id", "host"
+    ).localCheckpoint(eager=True)
+    hi = allowed.agg(F.max("doc_id")).first()[0] or 0
+    span = hi // n_input_files + 1
+    input_dir = scratch_dir(prefix="pdfi_frontier_in_")
+    for i in range(n_input_files):  # sequential jobs: increasing mtimes
+        allowed.filter(
+            (F.col("doc_id") >= i * span) & (F.col("doc_id") < (i + 1) * span)
+        ).coalesce(1).write.mode("append").parquet(input_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+
+    def update(key, pdfs, state):
+        host = key[0]
+        delay = delays.get(str(host), 1.0)
+        start = state.get[0] if state.exists else 0
+        rows = []
+        for pdf in pdfs:
+            for doc_id in sorted(int(d) for d in pdf["doc_id"]):
+                rows.append({
+                    "doc_id": doc_id, "host": str(host),
+                    "fetch_order": start,
+                    "scheduled_sec": round(start * delay, 3),
+                })
+                start += 1
+        state.update((start,))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "host", "fetch_order", "scheduled_sec"]
+        )
+
+    updates = stream.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "doc_id long, host string, fetch_order long, scheduled_sec double"
+        ),
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    checkpoint = scratch_dir(prefix="pdfi_frontier_ckpt_")
+    query = (
+        updates.writeStream.queryName(query_name)
+        .format("memory")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # each doc is emitted exactly once (in the batch that delivered it)
+    return spark.table(query_name)
+
+
 def session_window_events(spark: SparkSession, sf_dir: str,
                           gap: str = "30 minutes",
                           watermark: str = "10 minutes",

@@ -108,6 +108,29 @@ def test_bigram_surprisal_semantics(spark):
     assert 2 not in rows  # single-word doc has no bigram
 
 
+def test_frontier_streaming_equals_batch_schedule(spark):
+    """Per-host fetch counters must persist ACROSS micro-batches: the
+    input is split into 4 doc_id-range files delivered one per trigger,
+    so a state reset would restart each host's order at 0 per batch
+    (duplicate fetch_orders) — equality with the batch operator proves
+    continuous state."""
+    from pdfi_spark.streaming import frontier_schedule_streaming
+
+    stream_rows = sorted(
+        map(tuple, frontier_schedule_streaming(
+            spark, SF, query_name="frontier_test"
+        ).collect())
+    )
+    batch_rows = sorted(map(tuple, ops.frontier_schedule(spark, SF).collect()))
+    assert stream_rows == batch_rows
+    # sanity: per-host orders are strictly continuous 0..n-1
+    per_host = {}
+    for _doc, host, order, _sec in stream_rows:
+        per_host.setdefault(host, []).append(order)
+    for orders in per_host.values():
+        assert sorted(orders) == list(range(len(orders)))
+
+
 def test_crawl_diff_statuses(spark):
     rows = {r.url: r.status for r in ops.crawl_diff(spark, SF).collect()}
     assert len(rows) == 500
