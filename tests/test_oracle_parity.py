@@ -1,6 +1,6 @@
 """Fast in-suite replica of the driver's correctness gate: a
 representative subset of __spark_entry__ queries vs their DuckDB oracles
-at sf0.001 (the full 101-query sweep at sf0.01 lives in
+at sf0.001 (the full all-query sweep at sf0.01 lives in
 tools/check_oracles.py, ~4 min). Comparison is the same
 order-insensitive sorted-column value hash the driver uses."""
 import hashlib
@@ -48,6 +48,12 @@ SUBSET = [
     "lang_balance_sample",
     "tfidf_top_terms",
     "unigram_surprisal",
+    "bigram_surprisal",
+    "anchor_text_index",
+    "frontier_schedule",
+    "paragraph_dedup",
+    "pack_training_shards",
+    "crawl_diff",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",
