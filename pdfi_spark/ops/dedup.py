@@ -181,24 +181,33 @@ def _minhash128_sig_hof(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", mins.alias("sig"))
 
 
-def _minhash128_sig_np(docs: DataFrame) -> DataFrame:
-    """Arrow-batched numpy twin of the HOF fold in ``_minhash128_sig_hof``
-    — bit-identical signatures, ~an order of magnitude cheaper.
+def _minhash128_artifacts(docs: DataFrame, with_words: bool = False,
+                          with_shingles: bool = False,
+                          shingle_n: int = 3) -> DataFrame:
+    """ONE fused Arrow pass producing every per-doc artifact the sketch
+    family needs: the 128-lane signature (always), and optionally the
+    distinct word set (`words`, for true-Jaccard audits) and the
+    distinct n-gram shingles (`shingles`, for pair verification).
 
-    Catalyst higher-order functions never enter whole-stage codegen:
-    every lambda element is interpreted, so the 128-lane fold costs ~8x
-    the 4-lane op for 32x the permutations (measured; CLAUDE.md). This
-    variant keeps the same math — one md5 per distinct word, digest
-    bytes 0..15 as four big-endian 32-bit lanes (exactly the hex
-    substrings at offsets 1/9/17/25), then min over words of
-    (a_i * lane_{i%4} + b_i) mod P — but runs it as ONE vectorized
-    numpy pass per Arrow batch: the words of all docs in the batch are
-    hashed in a single loop (hashlib.md5 is C), framed as a (W,4) lane
-    matrix, expanded to (W,128) by column-gather, and segment-reduced
-    per doc with np.minimum.reduceat. a*h+b < 2^63 stays exact in
-    int64 (same ANSI-safety argument as the JVM side). Still a NARROW
-    zero-exchange map — the plan shape (scan pruned to doc_id+text ->
-    mapInPandas) is asserted in tests/test_plans.py."""
+    Signature math is the bit-identical numpy twin of the HOF fold in
+    ``_minhash128_sig_hof``: Catalyst higher-order functions never
+    enter whole-stage codegen (every lambda element is interpreted, so
+    the 128-lane fold costs ~8x the 4-lane op for 32x the permutations
+    — measured; CLAUDE.md). Here all words of an Arrow batch are hashed
+    in one hashlib loop (one md5 per distinct word), digests framed as
+    a (W,4) big-endian uint32 lane matrix (exactly the hex substrings
+    at offsets 1/9/17/25), expanded to (W,128) by column gather, and
+    segment-reduced per doc with np.minimum.reduceat; a_i*h+b_i < 2^63
+    stays exact in int64 (same ANSI-safety argument as the JVM side).
+
+    The optional columns exist so downstream consumers scan the corpus
+    ONCE: dedup_clusters_128 previously ran a second scan+fold for
+    shingles, and the estimator audit a third for word sets — at 100 TB
+    each extra pass is a full read of the corpus. `shingles` matches
+    ops.dedup._shingles (n-grams over the RAW word sequence, first-
+    occurrence dedup; consumers only take intersect/union sizes, which
+    are order-insensitive). Still a NARROW zero-exchange map — scan
+    pruned to doc_id+text -> mapInPandas (asserted in test_plans)."""
     import numpy as np
     import pandas as pd
 
@@ -216,9 +225,9 @@ def _minhash128_sig_np(docs: DataFrame) -> DataFrame:
         P = np.int64(MINHASH128_P)
         md5 = hashlib.md5
         for batch in iterator:
+            raw_per_doc = [str(t).split(" ") for t in batch["text"]]
             words_per_doc = [
-                list(dict.fromkeys(str(t).split(" ")))
-                for t in batch["text"]
+                list(dict.fromkeys(ws)) for ws in raw_per_doc
             ]
             counts = np.asarray([len(w) for w in words_per_doc])
             digests = b"".join(
@@ -231,14 +240,31 @@ def _minhash128_sig_np(docs: DataFrame) -> DataFrame:
             starts = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             mins = np.minimum.reduceat(vals, starts, axis=0)
-            yield pd.DataFrame({
-                "doc_id": batch["doc_id"],
-                "sig": list(mins),
-            })
+            out = {"doc_id": batch["doc_id"], "sig": list(mins)}
+            if with_words:
+                out["words"] = words_per_doc
+            if with_shingles:
+                out["shingles"] = [
+                    list(dict.fromkeys(
+                        " ".join(ws[i:i + shingle_n])
+                        for i in range(len(ws) - shingle_n + 1)
+                    ))
+                    for ws in raw_per_doc
+                ]
+            yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(
-        fold, schema="doc_id long, sig array<long>"
-    )
+    schema = "doc_id long, sig array<long>"
+    if with_words:
+        schema += ", words array<string>"
+    if with_shingles:
+        schema += ", shingles array<string>"
+    return docs.select("doc_id", "text").mapInPandas(fold, schema=schema)
+
+
+def _minhash128_sig_np(docs: DataFrame) -> DataFrame:
+    """Signature-only view of the fused artifacts pass (the default
+    _minhash128_sig)."""
+    return _minhash128_artifacts(docs)
 
 
 # default signature path: the vectorized variant (bit-identical to the
@@ -312,27 +338,27 @@ def minhash128_jaccard_estimates(spark: SparkSession,
     agreement is a zip_with+filter over the two checkpointed 128-lane
     arrays (never a re-fold); true Jaccard is array_intersect/union on
     distinct word sets. Everything downstream of the capped candidate
-    join is narrow."""
-    sig = _minhash128_sig(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    join is narrow. The fused artifacts pass emits signature AND word
+    set together (the corpus is scanned once, not twice), so each pair
+    side is a single join against the checkpointed artifacts instead of
+    two."""
+    art = _minhash128_artifacts(
+        _docs(spark, sf_dir), with_words=True
+    ).localCheckpoint(eager=True)
     members = (
-        sig.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
+        art.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
         .select("doc_id", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
     )
     pairs = _pairs_from_members(members)
-    words = _docs(spark, sf_dir).select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("ws")
-    ).localCheckpoint(eager=True)
     est = (
         pairs
-        .join(sig.select(F.col("doc_id").alias("doc_a"),
-                         F.col("sig").alias("sig_a")), "doc_a")
-        .join(sig.select(F.col("doc_id").alias("doc_b"),
-                         F.col("sig").alias("sig_b")), "doc_b")
-        .join(words.select(F.col("doc_id").alias("doc_a"),
-                           F.col("ws").alias("ws_a")), "doc_a")
-        .join(words.select(F.col("doc_id").alias("doc_b"),
-                           F.col("ws").alias("ws_b")), "doc_b")
+        .join(art.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sig").alias("sig_a"),
+                         F.col("words").alias("ws_a")), "doc_a")
+        .join(art.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b"),
+                         F.col("words").alias("ws_b")), "doc_b")
     )
     agree = F.size(F.filter(
         F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
@@ -640,20 +666,37 @@ def dedup_clusters_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     components as dedup_clusters. Same output contract; only the
     candidate generator differs — this is the configuration a
     GPT-3/Gopher-style pipeline would actually run, with the 4-perm
-    variant kept as the didactic/regression twin."""
+    variant kept as the didactic/regression twin. Signature and
+    verification shingles come out of ONE fused Arrow pass (at 100 TB
+    a second scan+fold for shingles is a second full read of the
+    corpus); a doc with <3 words gets an empty shingle array, whose
+    Jaccard against anything is NULL/0 — dropped by the >= threshold
+    filter exactly like the old inner-join-on-filtered-docs shape."""
+    art = _minhash128_artifacts(
+        _docs(spark, sf_dir), with_shingles=True
+    ).localCheckpoint(eager=True)
+    members = (
+        art.select("doc_id", F.explode(_minhash128_bands()).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    )
     return _dedup_clusters_from(
-        spark, sf_dir, _pairs_from_members(_lsh128_members(spark, sf_dir))
+        spark, sf_dir, _pairs_from_members(members),
+        shingle_df=art.select("doc_id", "shingles"),
     )
 
 
 def _dedup_clusters_from(spark: SparkSession, sf_dir: str,
-                         pairs: DataFrame) -> DataFrame:
+                         pairs: DataFrame,
+                         shingle_df: DataFrame | None = None) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # subtree-reuse rule (CLAUDE.md): the shingle fold feeds BOTH join
     # sides and the verified pairs feed BOTH union branches — without
     # materialization the scan+fold runs 4x and the pair join + Jaccard
-    # verification 2x (measured in the executed plan)
-    sh = (
+    # verification 2x (measured in the executed plan). A caller that
+    # already materialized shingles (the fused 128-perm artifacts pass)
+    # hands them in; the 4-perm path keeps the standalone HOF fold.
+    sh = shingle_df if shingle_df is not None else (
         docs.filter(F.size(F.split("text", " ")) >= 3)
         .select("doc_id", _shingles().alias("shingles"))
         .localCheckpoint(eager=True)
