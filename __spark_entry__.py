@@ -563,7 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bigram_surprisal"] = ops.bigram_surprisal
     out["crawl_diff"] = ops.crawl_diff
     out["frontier_schedule_streaming"] = _frontier_streaming_query
-    # -- group 3: last driver-sampled in round 3 --
+    # -- group 3: last driver-sampled in round 3 (resume query first:
+    #    its wrapper moved to self-cleaning scratch dirs this round) --
+    out["pipeline_resume_counts"] = _pipeline_resume_query
     out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
     out["dedup_clusters"] = ops.dedup_clusters
     out["link_graph_degrees"] = ops.link_graph_degrees
@@ -592,7 +594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["html_streaming"] = _html_streaming_query
     out["ivf_train_cells"] = ops.ivf_train_cells
     out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
-    out["pipeline_resume_counts"] = _pipeline_resume_query
     out["simhash"] = ops.simhash
     out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
     out["pii_scrub"] = ops.pii_scrub
