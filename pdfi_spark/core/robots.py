@@ -68,12 +68,37 @@ ROBOTS_TXT: dict[str, str] = {
 # escaped; pattern_regex emits nothing outside this set + . and *
 _RX_SPECIALS = set("\\.^$*+?()[]{}|")
 
+# hostile-input bound for the one BACKTRACKING engine in the stack: a
+# rule like "/a*b*c*...$" costs O(path_len^k) in java.util.regex (the
+# Spark regexp_like side — a hostile site controls both its robots rules
+# and its URL lengths, so this is a real DoS surface). The Python core
+# matcher below is a LINEAR two-pointer glob (no backtracking blowup)
+# and DuckDB's RE2 is linear by construction, so the cap exists for the
+# JVM path: star runs collapse for free (semantically identical), and a
+# rule still carrying more than this many wildcards is DROPPED at parse
+# time (fail-open: an unenforceable hostile rule yields no rule, it
+# never stalls an executor). k=2 bounds the JVM worst case at
+# O(path^2) ~ milliseconds on capped-length URLs; engines with linear
+# regex (RE2) could raise this.
+MAX_PATTERN_WILDCARDS = 2
+
+
+def _collapse_stars(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*" and out and out[-1] == "*":
+            continue
+        out.append(ch)
+    return "".join(out)
+
 
 def pattern_regex(pattern: str) -> str:
     """RFC 9309 path pattern -> a regex string valid (and equivalent) in
     Python re, Java regex, and RE2: anchored with a leading ``^`` (all
-    three engines are used in unanchored-search mode), ``*`` -> ``.*``,
-    a trailing ``$`` -> the end anchor, everything else literal."""
+    three engines are used in unanchored-search mode), ``*`` -> ``.*``
+    (consecutive stars collapsed), a trailing ``$`` -> the end anchor,
+    everything else literal."""
+    pattern = _collapse_stars(pattern)
     body, anchor = (pattern[:-1], "$") if pattern.endswith("$") else (pattern, "")
     out = ["^"]
     for ch in body:
@@ -84,6 +109,44 @@ def pattern_regex(pattern: str) -> str:
         else:
             out.append(ch)
     return "".join(out) + anchor
+
+
+def _glob_match(pattern: str, path: str) -> bool:
+    """RFC 9309 path-pattern matching in O(len(pattern) * len(path)):
+    anchored at the path start, ``*`` = any octet run, trailing ``$`` =
+    end anchor, any other octet literal. Greedy two-pointer with
+    single-last-star backtracking (the classic linear glob algorithm) —
+    semantically identical to the regex translation but immune to the
+    multi-wildcard backtracking blowup, which is why the Python side
+    never needs the JVM path's wildcard cap."""
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    n, m = len(path), len(pattern)
+    p = i = 0
+    star, mark = -1, 0
+    while True:
+        if p == m:
+            # pattern consumed: prefix semantics succeed immediately;
+            # the end anchor additionally needs the path consumed
+            if not anchored or i == n:
+                return True
+            # anchored and path remains: retry from the last star
+            if star == -1:
+                return False
+            p, mark = star + 1, mark + 1
+            i = mark
+        elif pattern[p] == "*":
+            star, mark = p, i
+            p += 1
+        elif i < n and pattern[p] == path[i]:
+            p += 1
+            i += 1
+        elif star != -1 and mark < n:
+            p, mark = star + 1, mark + 1
+            i = mark
+        else:
+            return False
 
 
 @lru_cache(maxsize=1024)
@@ -121,6 +184,14 @@ def parse_robots(text: str) -> list[dict]:
             if value == "":
                 # empty Disallow = nothing disallowed; empty Allow is
                 # meaningless — neither emits a rule
+                continue
+            # hostile-input hardening: star runs collapse (the stored
+            # pattern IS the collapsed form — specificity length and
+            # matched_prefix output use it consistently); a rule still
+            # carrying more than MAX_PATTERN_WILDCARDS wildcards is
+            # dropped (fail-open; see the constant's comment)
+            value = _collapse_stars(value)
+            if value.count("*") > MAX_PATTERN_WILDCARDS:
                 continue
             current["rules"].append((field == "allow", value))
         elif field == "crawl-delay":
@@ -173,7 +244,7 @@ def is_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
     is already fixed by the first two keys); no match -> allowed."""
     winner: tuple[int, bool, str] | None = None
     for allow, pattern in rules:
-        if _compiled(pattern).search(path):
+        if _glob_match(pattern, path):
             key = (len(pattern), allow, pattern)
             if winner is None or key > winner:
                 winner = key

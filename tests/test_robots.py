@@ -65,6 +65,52 @@ def test_wildcard_and_end_anchor_rules():
     assert not is_allowed([(False, "/a$b")], "/a$bc")
 
 
+def test_hostile_wildcard_rules_bounded():
+    import time
+
+    from pdfi_spark.core.robots import _glob_match
+
+    # star runs collapse to one star (semantically identical)
+    assert parse_robots("User-agent: *\nDisallow: /a****b\n")[0][
+        "rules"] == [(False, "/a*b")]
+    assert pattern_regex("/a****b") == "^/a.*b"
+    # a rule with more wildcards than the JVM-path cap is dropped
+    # entirely (fail-open) so regexp_like never sees a ReDoS shape
+    hostile = "/" + "a*" * 30 + "$"
+    assert parse_robots(f"User-agent: *\nDisallow: {hostile}\n")[0][
+        "rules"] == []
+    # the Python core matcher is LINEAR: even a 30-wildcard pattern
+    # against a 20k-char non-matching path finishes instantly (the
+    # regex translation of the same pattern would take astronomically
+    # long in a backtracking engine)
+    t0 = time.monotonic()
+    # trailing-star anchor absorbs the rest: a genuine match, instantly
+    assert _glob_match(hostile, "/" + "a" * 20000)
+    # the never-satisfiable 'b$' tail is the backtracking worst case:
+    # the linear matcher still answers instantly
+    assert not _glob_match("/" + "a*" * 30 + "b$", "/" + "a" * 20000)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_glob_match_equals_regex_translation():
+    # the linear matcher and the shared-dialect regex must be the SAME
+    # function on the full semantic surface (prefix vs end anchor,
+    # literal $, star runs, empty patterns)
+    import itertools
+    import re
+
+    from pdfi_spark.core.robots import _glob_match
+
+    alphabet = "ab*$/"
+    for plen in range(0, 4):
+        for pat in ("".join(t) for t in itertools.product(alphabet, repeat=plen)):
+            rx = re.compile(pattern_regex(pat))
+            for path in ("", "/", "/a", "/ab", "/ba", "/aab", "/ab$",
+                         "/abab", "aa", "b/a$b"):
+                assert _glob_match(pat, path) == bool(rx.search(path)), (
+                    pat, path)
+
+
 def test_pattern_regex_shared_dialect():
     assert pattern_regex("/Doc/1") == "^/Doc/1"
     assert pattern_regex("/Doc/*7$") == "^/Doc/.*7$"
