@@ -76,6 +76,19 @@ class Headers(dict):
         k = self._key(name)
         dict.__setitem__(self, name if k is None else k, value)
 
+    def update(self, *args, **kwargs) -> None:
+        # dict.update bypasses __setitem__; route it through the
+        # case-insensitive write path
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def setdefault(self, name: str, default=None):
+        k = self._key(name)
+        if k is not None:
+            return dict.__getitem__(self, k)
+        dict.__setitem__(self, name, default)
+        return default
+
 
 def build_record(warc_type: str, headers: dict[str, str],
                  payload: bytes) -> bytes:

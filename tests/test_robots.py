@@ -121,6 +121,35 @@ def test_pattern_regex_shared_dialect():
     assert re.search(pattern_regex("/a$b"), "/a$bcd")
 
 
+def test_parser_and_matcher_total_on_arbitrary_text():
+    # fuzz-containment, same style as the WARC/PDF suites: arbitrary
+    # bytes-ish text must parse without raising, every emitted rule must
+    # be matchable, and crawl_delay stays float-or-None
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdfi_spark.core.robots import crawl_delay
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(min_codepoint=0, max_codepoint=0x2ff),
+        max_size=400,
+    ))
+    def run(text):
+        groups = parse_robots(text)
+        for g in groups:
+            assert g["agents"]
+            for allow, pattern in g["rules"]:
+                assert isinstance(allow, bool)
+                assert pattern and pattern.count("*") <= 2
+            is_allowed(g["rules"], "/some/path*with$specials")
+        d = crawl_delay(text)
+        assert d is None or isinstance(d, float)
+        rules_for(text, "anybot/1.0")
+
+    run()
+
+
 def test_edge_cases_contained():
     assert parse_robots("") == []
     assert rules_for("", "x") == []

@@ -93,6 +93,19 @@ def test_header_writes_case_insensitive_last_writer_wins():
     assert "x-field" not in list(hdrs.keys())
 
 
+def test_header_update_and_setdefault_case_insensitive():
+    from pdfi_spark.core.warc import Headers
+
+    h = Headers()
+    h["Content-Length"] = "1"
+    h.update({"content-LENGTH": "2", "X-New": "a"})
+    assert h["content-length"] == "2"
+    assert list(h.keys()) == ["Content-Length", "X-New"]
+    assert h.setdefault("x-new", "b") == "a"      # existing wins
+    assert h.setdefault("X-Other", "c") == "c"    # inserted as given
+    assert h["x-other"] == "c"
+
+
 def test_bad_content_length_skips_one_record_not_the_rest():
     # one unframeable record (missing/garbage Content-Length) must not
     # swallow the records after it: the scan resyncs on the next magic
