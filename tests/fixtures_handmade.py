@@ -56,6 +56,19 @@ HYBRID_XREFSTM_PDF = b'%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nend
 HYBRID_XREFSTM_EXPECTED = '# \nclassic table wins'
 
 
+# Incremental update where BOTH cross-reference sections are STREAMS
+# chained via /Prev (the shape every modern writer produces on re-save):
+# base xref stream (obj 6, Size 7) <- /Prev <- update xref stream (obj 7,
+# Size 8, sparse /Index [4 1 7 1]) redefining object 4. Pins: /Index
+# subsection decoding, the Prev chain across stream trailers, newer
+# OBJECT winning, and the reference's oldest-wins TRAILER merge
+# (models.ts:454-457 assign([newest..oldest]) lets the LAST/oldest dict
+# override, its comment notwithstanding) => merged Size stays 7.
+INCXSTREAM_PDF = b'%PDF-1.5\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n2 0 obj\n<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>\nendobj\n3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [ 0 0 612 792 ] /Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>\nendobj\n4 0 obj\n<< /Length 59 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (original stream body) Tj ET\nendstream\nendobj\n5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /FirstChar 32 /LastChar 126 /Widths [ 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 500 ] >>\nendobj\n6 0 obj\n<< /Type /XRef /Size 7 /W [ 1 2 1 ] /Root 1 0 R /Length 28 >>\nstream\n\x00\x00\x00\xff\x01\x00\t\x00\x01\x00:\x00\x01\x00u\x00\x01\x00\xf5\x00\x01\x01b\x00\x01\x03L\x00\nendstream\nendobj\nstartxref\n844\n%%EOF\n4 0 obj\n<< /Length 61 >>\nstream\nBT /F1 10 Tf 1 0 0 1 72 720 Tm (xref stream chain wins) Tj ET\nendstream\nendobj\n7 0 obj\n<< /Type /XRef /Size 8 /Index [ 4 1 7 1 ] /W [ 1 2 1 ] /Root 1 0 R /Prev 844 /Length 8 >>\nstream\n\x01\x03\xdb\x00\x01\x04J\x00\nendstream\nendobj\nstartxref\n1098\n%%EOF\n'
+
+INCXSTREAM_EXPECTED = '# \nxref stream chain wins'
+
+
 HANDMADE = {
     "incremental": (INCREMENTAL_PDF, INCREMENTAL_EXPECTED),
     "mixedlen": (MIXEDLEN_PDF, MIXEDLEN_EXPECTED),
@@ -64,4 +77,5 @@ HANDMADE = {
     "xrefstream": (XREFSTREAM_PDF, XREFSTREAM_EXPECTED),
     "linearized": (LINEARIZED_PDF, LINEARIZED_EXPECTED),
     "hybrid_xrefstm": (HYBRID_XREFSTM_PDF, HYBRID_XREFSTM_EXPECTED),
+    "inc_xrefstream": (INCXSTREAM_PDF, INCXSTREAM_EXPECTED),
 }

@@ -56,6 +56,22 @@ def test_hybrid_xrefstm_hint_is_ignored_like_reference():
     assert b"(classic table wins)" in pdf[row4["offset"]:row4["offset"] + 200]
 
 
+def test_incremental_xref_stream_chain():
+    pdf, expected = HANDMADE["inc_xrefstream"]
+    assert read_pdf(pdf, type="string") == expected
+    # newer OBJECT wins; merged TRAILER is oldest-wins (reference
+    # models.ts:454-457 parity): base Size 7 overrides update Size 8
+    meta = read_pdf(pdf, type="metadata")
+    assert meta["Size"] == 7
+    xrefs = read_pdf(pdf, type="xref")
+    # update's sparse /Index [4 1 7 1] contributes exactly rows 4 and 7
+    # ahead of the base stream's full 0-6 coverage
+    nums = [x["object_number"] for x in xrefs]
+    assert nums[:2] == [4, 7]
+    live4 = [x for x in xrefs if x["object_number"] == 4][0]
+    assert b"(xref stream chain wins)" in pdf[live4["offset"]:live4["offset"] + 200]
+
+
 def test_multisubsection_xref_has_gap_objects_absent():
     pdf, _ = HANDMADE["multisubsection"]
     xrefs = read_pdf(pdf, type="xref")
