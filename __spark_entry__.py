@@ -554,8 +554,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
     out["dedup_clusters_128"] = ops.dedup_clusters_128
     out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
-    # NEW in round 5: anchor-text index, politeness frontier scheduling,
+    # NEW in round 5: SemDedup semantic pruning, deterministic training
+    # shuffle, anchor-text index, politeness frontier scheduling,
     # paragraph-level dedup, token-budget shard packing
+    out["semdedup"] = ops.semdedup
+    out["training_shuffle_manifest"] = ops.training_shuffle_manifest
     out["anchor_text_index"] = ops.anchor_text_index
     out["frontier_schedule"] = ops.frontier_schedule
     out["paragraph_dedup"] = ops.paragraph_dedup
@@ -735,8 +738,9 @@ def _ivf_assigned_cte() -> str:
     )
 
 
-def _ivf_train_sql(iters: int = 2) -> str:
-    """Unrolled 2-iteration Lloyd twin of ops.similarity.ivf_train_cells.
+def _ivf_train_cte(iters: int = 2) -> tuple[list[str], str]:
+    """Unrolled Lloyd CTE chain (shared by _ivf_train_sql and
+    _semdedup_sql): returns (cte_parts, name_of_final_centroid_cte).
     The float-mean determinism problem (double sums depend on partition
     order) is neutralized the same way the Spark side neutralizes it:
     every updated centroid is cast to FLOAT32 per element (Spark:
@@ -775,6 +779,16 @@ def _ivf_train_sql(iters: int = 2) -> str:
             f"FROM {prev} c LEFT JOIN m{it} m USING (centroid_id))"
         )
         prev = f"cent{it}"
+    return parts, prev
+
+
+def _ivf_train_sql(iters: int = 2) -> str:
+    """Twin of ops.similarity.ivf_train_cells (see _ivf_train_cte)."""
+    parts, prev = _ivf_train_cte(iters)
+
+    def cos(a: str, b: str) -> str:
+        return _COSINE_RAW.format(a=a, b=b)
+
     final = (
         "SELECT centroid_id, count(*) AS n_vecs FROM "
         "(SELECT e.vec_id, c.centroid_id "
@@ -784,6 +798,35 @@ def _ivf_train_sql(iters: int = 2) -> str:
         "GROUP BY centroid_id"
     )
     return ", ".join(parts) + " " + final
+
+
+def _semdedup_sql(iters: int = 2, tau: float | None = None) -> str:
+    """Twin of ops.similarity.semdedup: trained-codebook assignment (the
+    same unrolled Lloyd chain as _ivf_train_sql), then within-cell pairs
+    with round(cosine,3) >= tau mark the higher vec_id removed."""
+    from pdfi_spark.ops.similarity import SEMDEDUP_TAU
+
+    if tau is None:
+        tau = SEMDEDUP_TAU
+    parts, prev = _ivf_train_cte(iters)
+    acos = _COSINE_RAW.format(a="e.embedding", b="c.cvec")
+    pcos = _COSINE_EXPR.format(a="a.embedding", b="b.embedding")
+    parts.append(
+        "asg AS (SELECT e.vec_id, e.embedding, c.centroid_id "
+        f"FROM embeddings e CROSS JOIN {prev} c "
+        "QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{acos} DESC, c.centroid_id ASC) = 1)"
+    )
+    parts.append(
+        "removed AS (SELECT DISTINCT a.vec_id FROM asg a JOIN asg b "
+        "ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id "
+        f"WHERE {pcos} >= {tau!r})"
+    )
+    return (
+        ", ".join(parts)
+        + " SELECT a.vec_id, a.centroid_id, r.vec_id IS NULL AS kept "
+        "FROM asg a LEFT JOIN removed r ON a.vec_id = r.vec_id"
+    )
 
 
 def _lsh_bucket_expr() -> str:
@@ -1265,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT centroid_id, count(*) AS n_vecs FROM assigned GROUP BY centroid_id"
     )
     out["ivf_train_cells"] = _ivf_train_sql()
+    out["semdedup"] = _semdedup_sql()
     cos_q = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
     cos_cq = _COSINE_RAW.format(a="cvec", b="q.qvec")
     cos_aq = _COSINE_RAW.format(a="a.embedding", b="q.qvec")
@@ -1656,6 +1700,19 @@ def oracle_sql() -> dict[str, str]:
         "PRECEDING), 0)::BIGINT AS cum_before FROM t) "
         f"SELECT doc_id, n_tokens, (cum_before // {SHARD_TOKEN_BUDGET})"
         "::BIGINT AS shard_id FROM c"
+    )
+    # deterministic hash shuffle: both engines hash the SAME decimal
+    # string rendering of doc_id; pos ordering is the full hex digest
+    # (row_number cast ::BIGINT — Spark's long vs DuckDB's native BIGINT)
+    from pdfi_spark.ops.textstats import N_SHUFFLE_SHARDS
+
+    out["training_shuffle_manifest"] = (
+        "WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hx "
+        "FROM documents), "
+        "s AS (SELECT doc_id, hx, (('0x' || substr(hx, 1, 8))::BIGINT "
+        f"% {N_SHUFFLE_SHARDS})::INTEGER AS shard FROM h) "
+        "SELECT doc_id, shard, (row_number() OVER (PARTITION BY shard "
+        "ORDER BY hx, doc_id) - 1)::BIGINT AS pos_in_shard FROM s"
     )
     out["layout_lines_window"] = (
         "WITH s AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "

@@ -145,6 +145,8 @@ def main() -> int:
         "frontier_schedule": ops.frontier_schedule,
         "paragraph_dedup": ops.paragraph_dedup,
         "pack_training_shards": ops.pack_training_shards,
+        "training_shuffle_manifest": ops.training_shuffle_manifest,
+        "semdedup": ops.semdedup,
         "bigram_surprisal": ops.bigram_surprisal,
         "crawl_diff": ops.crawl_diff,
     }

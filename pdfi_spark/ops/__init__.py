@@ -23,6 +23,7 @@ from .similarity import (
     ivf_cell_counts,
     ivf_topk,
     lsh_ann_buckets,
+    semdedup,
 )
 from .webtext import (anchor_text_index, corpus_build_counts,
                       crawl_diff,
@@ -48,6 +49,7 @@ from .textstats import (
     tfidf_top_terms,
     unigram_surprisal,
     pack_training_shards,
+    training_shuffle_manifest,
     bigram_surprisal,
     pii_scrub,
     lang_id_ngram,
@@ -64,7 +66,9 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub",
     "anchor_text_index", "frontier_schedule", "paragraph_dedup",
     "crawl_diff",
-    "pack_training_shards", "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
+    "pack_training_shards", "training_shuffle_manifest",
+    "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
+    "semdedup",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
     "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "lang_balance_sample", "tfidf_top_terms", "unigram_surprisal", "media_metadata", "media_features",

@@ -323,6 +323,65 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     return probe.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
+SEMDEDUP_TAU = 0.3  # probe-derived: splits the driver corpus ~300 kept
+# / ~200 removed (within-cell round-3 cosines: median 0.05, p99 0.33),
+# so both verdicts are well represented in the oracle hash
+
+
+def semdedup(spark: SparkSession, sf_dir: str, iters: int = 2,
+             tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and pruning
+    near-duplicate pairs WITHIN each cluster only. Reuses the trained
+    k-means codebook (kmeans_codebook — the cross-engine-deterministic
+    Lloyd loop) and the IVF assignment; within a cell, every vector that
+    has a lower-id cell-mate with cosine >= tau is dropped (the paper
+    keeps one exemplar per epsilon-ball; "keep the lowest vec_id" makes
+    that choice deterministic). Returns one row per vector:
+    (vec_id, centroid_id, kept).
+
+    Scale shape: the pair stage is a self-join KEYED on centroid_id, so
+    cost is sum(cell_size^2), never N^2 — and in production the cluster
+    count is chosen proportional to N (the paper runs 11k clusters for
+    LAION-440M), holding cell sizes roughly constant as the corpus
+    grows. The assignment is checkpointed once so the Lloyd fold does
+    not re-execute per self-join side (Catalyst does not share subtrees
+    across self-joins), and cosine is rounded to 3 decimals before the
+    threshold compare so the verdict is reproducible across engines."""
+    emb = _emb(spark, sf_dir)
+    codebook = kmeans_codebook(emb, iters=iters)
+    assigned = _ivf_assign(emb, centroids=codebook).localCheckpoint(eager=True)
+    a = assigned.select(
+        "centroid_id", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = assigned.select(
+        "centroid_id", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = (
+        F.round(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+            3,
+        )
+        + F.lit(0.0)
+    )
+    removed = (
+        a.join(b, "centroid_id")
+        .where(F.col("vec_b") < F.col("vec_a"))
+        .where(cos >= F.lit(tau))
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+        .withColumn("is_removed", F.lit(True))
+    )
+    return assigned.join(removed, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        F.col("is_removed").isNull().alias("kept"),
+    )
+
+
 def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
                     k: int = 10, nprobe: int = 2) -> DataFrame:
     """IVF probe with nprobe > 1: search the query's `nprobe` nearest

@@ -505,6 +505,47 @@ def pack_training_shards(spark: SparkSession, sf_dir: str,
     )
 
 
+N_SHUFFLE_SHARDS = 16
+
+
+def training_shuffle_manifest(spark: SparkSession, sf_dir: str,
+                              n_shards: int = N_SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic pseudo-random global shuffle — the reproducible
+    corpus-order randomization every training run needs before packing
+    (doc order must be shuffled, but re-runs must produce the SAME
+    order). shard = first 8 hex digits of md5(doc_id) mod n_shards (a
+    pure narrow map), position within shard = row_number over the full
+    hex digest (doc_id as the theoretical tie-break). Reading shards
+    0..n-1 each in pos order IS the shuffled epoch order.
+
+    Scale shape: the only window is PARTITIONED BY shard — n_shards
+    independent sorts of ~N/n_shards rows each, never the naive global
+    ORDER BY rand() window (an Exchange-SinglePartition over the whole
+    corpus). At 100 TB n_shards is set to O(corpus/shard-budget) so
+    every sort fits an executor; determinism comes from md5, not a
+    seeded rng, so any engine reproduces the identical manifest."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).select(
+        "doc_id",
+        "hx",
+        F.pmod(
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos_in_shard"),
+    )
+
+
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 PHONE_RE = "\\d{3}-\\d{3}-\\d{4}"
 

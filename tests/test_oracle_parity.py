@@ -53,6 +53,8 @@ SUBSET = [
     "frontier_schedule",
     "paragraph_dedup",
     "pack_training_shards",
+    "training_shuffle_manifest",
+    "semdedup",
     "crawl_diff",
     "media_metadata",
     "top_events_per_user",

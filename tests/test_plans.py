@@ -442,6 +442,32 @@ def test_pack_training_shards_distributed_prefix_sum_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_training_shuffle_manifest_no_global_sort(spark):
+    # the shuffle manifest's only window is PARTITIONED BY shard — never
+    # the naive global ORDER BY rand() funnel — and the scan reads only
+    # doc_id (shard + position derive from md5(doc_id))
+    plan = _plan(ops.training_shuffle_manifest(spark, SF))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "windowspecdefinition(shard#" in plan, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "doc_id" in read_schema[0], plan
+    assert "text" not in read_schema[0], plan
+
+
+def test_semdedup_pairs_keyed_on_cell(spark):
+    # the within-cell pair stage must be a join KEYED on centroid_id
+    # (cost sum(cell^2)) — never a cartesian; the codebook rides along
+    # broadcast (BroadcastNestedLoopJoin on the 8-row centroid side is
+    # the assignment cross-score, same shape as _ivf_assign)
+    plan = _plan(ops.semdedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "centroid_id" in plan
+    joins = [ln for ln in plan.splitlines()
+             if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+                 or "BroadcastHashJoin" in ln)]
+    assert any("centroid_id" in ln for ln in joins), plan
+
+
 def test_frontier_schedule_per_host_window_broadcast_delays(spark):
     # ordering is per-host (politeness makes a host inherently serial):
     # no global-order window, delays dimension broadcast

@@ -1,16 +1,21 @@
 """Pure-multiprocessing host-ceiling control (no Spark).
 
 Measures extraction throughput with N plain Python processes splitting
-the heavy corpus's parquet part-files (each worker: pyarrow read ->
-extract_record per row). The 8 -> 32 scaling efficiency of THIS job is
-the host's memory-bandwidth ceiling — the yardstick BASELINE.md's
-"Host context" note measures Spark's saturation-bound pair against.
+a corpus's parquet part-files (each worker: pyarrow read ->
+extract_record per row). The N -> 4N scaling efficiency of THIS job is
+the host's memory-bandwidth ceiling for that pair — the yardstick
+BASELINE.md's "Host context" note measures Spark's saturation-bound
+pairs against.
 
-Writes .bench/mp_baseline.json; `tools/bench_scaling.py` interpolates
-the note's figures from that file, so the prose can never drift from
-the measurements.
+--style heavy (default) writes .bench/mp_baseline.json (the 8->32
+saturation yardstick); --style mixed writes .bench/mp_baseline_mixed.json
+(the 4->16 yardstick for the salted ~1.5 KB tier). Trials accumulate in
+per-style ledgers; `tools/bench_scaling.py` interpolates the note's
+figures from these files, so the prose can never drift from the
+measurements.
 
 Usage: python tools/bench_mp_control.py [--levels 8,32] [--trials 3]
+                                        [--style heavy|mixed]
 """
 from __future__ import annotations
 
@@ -25,8 +30,14 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = os.path.join(REPO, ".bench", "corpus_sf0.1_heavy_x4")
-OUT = os.path.join(REPO, ".bench", "mp_baseline.json")
+CORPORA = {
+    "heavy": os.path.join(REPO, ".bench", "corpus_sf0.1_heavy_x4"),
+    "mixed": os.path.join(REPO, ".bench", "corpus_sf0.1_mixed_x20"),
+}
+OUTS = {
+    "heavy": os.path.join(REPO, ".bench", "mp_baseline.json"),
+    "mixed": os.path.join(REPO, ".bench", "mp_baseline_mixed.json"),
+}
 
 
 def _worker(files: list[str]) -> int:
@@ -55,19 +66,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--style", choices=["heavy", "mixed"], default="heavy")
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
-    files = sorted(glob.glob(os.path.join(CORPUS, "*.parquet")))
+    corpus = CORPORA[args.style]
+    files = sorted(glob.glob(os.path.join(corpus, "*.parquet")))
     if not files:
-        print(f"no corpus at {CORPUS}; run tools/bench_scaling.py --style heavy first")
+        print(f"no corpus at {corpus}; run tools/bench_scaling.py "
+              f"--style {args.style} first")
         return 1
 
     # interleave trials round-robin so host noise hits each level equally;
     # trials ACCUMULATE in a ledger across invocations (best-of basis,
     # same protocol as tools/bench_scaling.py — a single noisy window
     # must not overwrite a better measurement)
-    ledger = os.path.join(REPO, ".bench", "mp_trials.jsonl")
+    sfx = "" if args.style == "heavy" else f"_{args.style}"
+    ledger = os.path.join(REPO, ".bench", f"mp_trials{sfx}.jsonl")
     n_docs = None
     for t in range(args.trials):
         for n in levels:
@@ -97,8 +112,9 @@ def main() -> int:
         if hi == lo * 4:
             eff = (results[str(hi)]["docs_per_sec"] / results[str(lo)]["docs_per_sec"]) / 4
             effs[f"{lo}->{hi}"] = round(eff, 3)
-    out = {"corpus": "heavy", "n_docs": n_docs, "results": results, "efficiency": effs}
-    with open(OUT, "w") as f:
+    out = {"corpus": args.style, "n_docs": n_docs, "results": results,
+           "efficiency": effs}
+    with open(OUTS[args.style], "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["efficiency"]))
 
