@@ -118,6 +118,18 @@ CASES = [
      "narrow in-row line explode (JVM-side, no Python) into exactly one "
      "keyed hash-aggregate Exchange on the paragraph text",
      None),
+    ("training_shuffle_manifest",
+     "deterministic epoch shuffle: md5-derived shard is a narrow map and "
+     "the only window is PARTITIONED BY shard (n_shards independent "
+     "sorts) — never the naive global ORDER BY rand() single-partition "
+     "funnel; scan pruned to doc_id",
+     None),
+    ("semdedup",
+     "within-cell pair stage joins KEYED on centroid_id (cost "
+     "sum(cell^2), cluster count grows with N in production) over the "
+     "once-checkpointed trained assignment; codebook rides along "
+     "broadcast — no cartesian anywhere",
+     None),
 ]
 
 
@@ -175,6 +187,8 @@ def main() -> int:
             "frontier_schedule": "frontier_schedule",
             "bigram_surprisal": "bigram_surprisal",
             "paragraph_dedup": "paragraph_dedup",
+            "training_shuffle_manifest": "training_shuffle_manifest",
+            "semdedup": "semdedup",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
