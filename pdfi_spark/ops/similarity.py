@@ -350,19 +350,27 @@ def semdedup(spark: SparkSession, sf_dir: str, iters: int = 2,
     threshold compare so the verdict is reproducible across engines."""
     emb = _emb(spark, sf_dir)
     codebook = kmeans_codebook(emb, iters=iters)
-    assigned = _ivf_assign(emb, centroids=codebook).localCheckpoint(eager=True)
+    # norm precomputed ONCE per vector before the pair join: the HOF
+    # norm fold is interpreted per element, so recomputing it per PAIR
+    # (2 x 64-element aggregates x sum(cell^2) pairs) would triple the
+    # pair stage; sqrt(sum) per row then na*nb in the pair is
+    # bit-identical to the inline formula, so the oracle is unchanged
+    assigned = _ivf_assign(emb, centroids=codebook).select(
+        "vec_id", "centroid_id", "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+    ).localCheckpoint(eager=True)
     a = assigned.select(
         "centroid_id", F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     b = assigned.select(
         "centroid_id", F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     cos = (
         F.round(
             _dot(F.col("emb_a"), F.col("emb_b"))
-            / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+            / (F.col("nrm_a") * F.col("nrm_b")),
             3,
         )
         + F.lit(0.0)
