@@ -348,14 +348,21 @@ def semdedup(spark: SparkSession, sf_dir: str, iters: int = 2,
     not re-execute per self-join side (Catalyst does not share subtrees
     across self-joins), and cosine is rounded to 3 decimals before the
     threshold compare so the verdict is reproducible across engines."""
-    emb = _emb(spark, sf_dir)
-    codebook = kmeans_codebook(emb, iters=iters)
+    return _semdedup_from(_emb(spark, sf_dir), iters=iters, tau=tau)
+
+
+def _semdedup_from(emb: DataFrame, iters: int = 2,
+                   tau: float = SEMDEDUP_TAU,
+                   n: int = N_CENTROIDS) -> DataFrame:
+    """semdedup core over an explicit (vec_id, embedding) DataFrame —
+    unit-testable on hand-computable inputs (tests/test_kmeans.py)."""
+    codebook = kmeans_codebook(emb, n=n, iters=iters)
     # norm precomputed ONCE per vector before the pair join: the HOF
     # norm fold is interpreted per element, so recomputing it per PAIR
     # (2 x 64-element aggregates x sum(cell^2) pairs) would triple the
     # pair stage; sqrt(sum) per row then na*nb in the pair is
     # bit-identical to the inline formula, so the oracle is unchanged
-    assigned = _ivf_assign(emb, centroids=codebook).select(
+    assigned = _ivf_assign(emb, n, centroids=codebook).select(
         "vec_id", "centroid_id", "embedding",
         _norm(F.col("embedding")).alias("nrm"),
     ).localCheckpoint(eager=True)

@@ -23,6 +23,21 @@ def test_one_lloyd_iteration_exact_means(spark):
     assert [round(x, 6) for x in cent[1]] == [0.05, 1.0]
 
 
+def test_semdedup_removes_within_cell_neardups_keeps_lowest_id(spark):
+    from pdfi_spark.ops.similarity import _semdedup_from
+
+    emb = _emb_df(spark, [
+        (0, [1.0, 0.0]),     # centroid 0 init
+        (1, [0.0, 1.0]),     # centroid 1 init
+        (2, [1.0, 0.01]),    # near-dup of v0 (cos ~0.99995) — removed
+        (3, [0.01, 1.0]),    # near-dup of v1 — removed
+        (4, [0.6, -0.8]),    # lands in cell 0 but cos(v0,v4)=0.6 — kept
+    ])
+    out = {r["vec_id"]: r["kept"]
+           for r in _semdedup_from(emb, iters=1, tau=0.9, n=2).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
 def test_trained_codebook_reassigns_all_vectors(spark):
     emb = _emb_df(spark, [
         (0, [1.0, 0.0]), (1, [0.0, 1.0]),
