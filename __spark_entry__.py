@@ -565,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pack_training_shards"] = ops.pack_training_shards
     out["bigram_surprisal"] = ops.bigram_surprisal
     out["crawl_diff"] = ops.crawl_diff
+    out["incremental_content_dedup"] = ops.incremental_content_dedup
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1572,6 +1573,19 @@ def oracle_sql() -> dict[str, str]:
         "WHEN old_digest = new_digest THEN 'unchanged' "
         "ELSE 'changed' END AS status "
         "FROM old FULL OUTER JOIN new ON old.url = new.url"
+    )
+    # content-level increment twin: digest index = DISTINCT md5 over the
+    # prior snapshot; novelty = LEFT JOIN miss on the digest key
+    out["incremental_content_dedup"] = (
+        "WITH n AS (SELECT count(*) AS n FROM documents), "
+        "old AS (SELECT DISTINCT md5(text) AS digest FROM documents, n "
+        "WHERE doc_id < (n.n * 0.8)::BIGINT), "
+        "new AS (SELECT doc_id, "
+        "md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' "
+        "ELSE text END) AS digest FROM documents, n "
+        "WHERE doc_id >= (n.n * 0.2)::BIGINT) "
+        "SELECT new.doc_id, new.digest, old.digest IS NULL AS novel "
+        "FROM new LEFT JOIN old ON new.digest = old.digest"
     )
     out["host_stats"] = (
         _canon_cte + ", h AS (SELECT "

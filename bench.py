@@ -149,6 +149,7 @@ def main() -> int:
         "semdedup": ops.semdedup,
         "bigram_surprisal": ops.bigram_surprisal,
         "crawl_diff": ops.crawl_diff,
+        "incremental_content_dedup": ops.incremental_content_dedup,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

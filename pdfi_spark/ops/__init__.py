@@ -26,7 +26,7 @@ from .similarity import (
     semdedup,
 )
 from .webtext import (anchor_text_index, corpus_build_counts,
-                      crawl_diff,
+                      crawl_diff, incremental_content_dedup,
                       frontier_schedule, html_block_stats,
                       html_content_spans,
                       html_main_content, html_outlinks,
@@ -65,7 +65,7 @@ __all__ = [
     "minhash128_jaccard_estimates", "simhash",
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub",
     "anchor_text_index", "frontier_schedule", "paragraph_dedup",
-    "crawl_diff",
+    "crawl_diff", "incremental_content_dedup",
     "pack_training_shards", "training_shuffle_manifest",
     "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
     "semdedup",

@@ -482,6 +482,46 @@ def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("url", status.alias("status"))
 
 
+def incremental_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-increment CONTENT dedup — the cross-snapshot complement
+    of crawl_diff's per-URL view: a new-snapshot doc is novel only if
+    its content digest appears NOWHERE in the prior corpus (any URL —
+    mirrors and re-hosted pages dedup here even though their URLs
+    differ). A crawl increment runs exactly this gate before paying
+    extraction. Snapshots derive from the same deterministic split as
+    crawl_diff (old = first 80% of doc_ids, new = last 80%, every 5th
+    doc's text amended). Returns (doc_id, digest, novel).
+
+    Scale shape: one keyed join on the 16-byte digest. The prior-corpus
+    side is a digest INDEX (digest-only projection + distinct — what a
+    production increment keeps materialized between crawls), far
+    smaller than the corpus but still beyond broadcast at 10^12 docs,
+    so both sides shuffle once on digest and stream-merge;
+    boilerplate-identical digests skew-cluster and AQE splits them.
+    Digests are computed in-row (narrow md5) — never a text-to-text
+    compare."""
+    docs = _base(spark, sf_dir)
+    n = docs.count()  # parquet metadata count-star
+    lo, hi = int(n * 0.2), int(n * 0.8)
+    old_digests = (
+        docs.filter(F.col("doc_id") < hi)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    new = docs.filter(F.col("doc_id") >= lo).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" updated")))
+            .otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    return new.join(old_digests, "digest", "left").select(
+        "doc_id", "digest", F.col("seen").isNull().alias("novel")
+    )
+
+
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl census over canonicalized URLs: (host, n_pages,
     n_canon_urls) — the politeness/coverage report every crawl keeps

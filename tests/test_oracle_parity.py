@@ -56,6 +56,7 @@ SUBSET = [
     "training_shuffle_manifest",
     "semdedup",
     "crawl_diff",
+    "incremental_content_dedup",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

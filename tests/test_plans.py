@@ -454,6 +454,17 @@ def test_training_shuffle_manifest_no_global_sort(spark):
     assert "text" not in read_schema[0], plan
 
 
+def test_incremental_content_dedup_keyed_on_digest(spark):
+    # novelty check is a join KEYED on the 16-byte digest (broadcast at
+    # test scale, shuffle-keyed at corpus scale — never cartesian), and
+    # the scan reads only doc_id+text (digests computed in-row)
+    plan = _plan(ops.incremental_content_dedup(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "digest" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("lang" not in ln for ln in read_schema), plan
+
+
 def test_semdedup_pairs_keyed_on_cell(spark):
     # the within-cell pair stage must be a join KEYED on centroid_id
     # (cost sum(cell^2)) — never a cartesian; the codebook rides along
