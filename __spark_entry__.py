@@ -566,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bigram_surprisal"] = ops.bigram_surprisal
     out["crawl_diff"] = ops.crawl_diff
     out["incremental_content_dedup"] = ops.incremental_content_dedup
+    out["exact_substring_dup"] = ops.exact_substring_dup
+    out["bm25_topk"] = ops.bm25_topk
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1586,6 +1588,57 @@ def oracle_sql() -> dict[str, str]:
         "WHERE doc_id >= (n.n * 0.2)::BIGINT) "
         "SELECT new.doc_id, new.digest, old.digest IS NULL AS novel "
         "FROM new LEFT JOIN old ON new.digest = old.digest"
+    )
+    # rolling-window hashes: ws[i+1:i+k] is the k-word window at offset
+    # i (inclusive 1-based slice = Spark slice(words, i+1, k)); sums are
+    # ::BIGINT-cast (DuckDB sum(BIGINT) -> HUGEINT breaks the hash)
+    from pdfi_spark.ops.dedup import DUP_WINDOW_WORDS as _K
+    out["exact_substring_dup"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "inst AS (SELECT doc_id, "
+        f"md5(array_to_string(ws[i+1:i+{_K}], ' ')) AS whash, "
+        "count(*) AS cnt FROM (SELECT doc_id, ws, "
+        f"unnest(range(0, len(ws) - {_K} + 1)) AS i FROM w) "
+        "GROUP BY doc_id, whash), "
+        "gw AS (SELECT whash, sum(cnt)::BIGINT AS gcnt FROM inst "
+        "GROUP BY whash), "
+        "per_doc AS (SELECT doc_id, sum(cnt)::BIGINT AS n_windows, "
+        "sum(CASE WHEN gcnt >= 2 THEN cnt ELSE 0 END)::BIGINT "
+        "AS n_dup_windows FROM inst JOIN gw USING (whash) "
+        "GROUP BY doc_id) "
+        "SELECT doc_id, n_windows, n_dup_windows, "
+        "round(n_dup_windows / n_windows, 6) AS dup_frac FROM per_doc"
+    )
+    # idf/term-score snapped to 9 then the per-doc sum to 6, mirroring
+    # the Spark expression tree; avgdl = one double division of two
+    # exact integer aggregates (::DOUBLE casts keep it off HUGEINT)
+    from pdfi_spark.ops.textstats import (BM25_B as _B25B,
+                                          BM25_K1 as _B25K,
+                                          BM25_QUERY as _B25Q,
+                                          BM25_TOPK as _B25N)
+    _b25_terms = ", ".join("'{}'".format(t) for t in _B25Q)
+    out["bm25_topk"] = (
+        "WITH p AS (SELECT count(*)::DOUBLE AS n, "
+        "sum(len(string_split(text, ' ')))::DOUBLE / count(*)::DOUBLE "
+        "AS avgdl FROM documents), "
+        "t AS (SELECT doc_id, len(string_split(text, ' ')) AS dl, "
+        "unnest(string_split(text, ' ')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t "
+        f"WHERE term IN ({_b25_terms}) GROUP BY doc_id, dl, term), "
+        "dfx AS (SELECT term, "
+        "round(ln((p.n - count(*) + 0.5) / (count(*) + 0.5) + 1), 9) "
+        "AS idf FROM tf, p GROUP BY term, p.n), "
+        # k1/b literals MUST be ::DOUBLE — DuckDB floats are DECIMAL,
+        # and tf * exact-decimal 2.2 rounds to a DIFFERENT double than
+        # Spark's tf * double(2.2)
+        "s AS (SELECT doc_id, "
+        f"round(idf * (tf * ({_B25K}::DOUBLE + 1)) / (tf + "
+        f"{_B25K}::DOUBLE * (1 - {_B25B}::DOUBLE + "
+        f"{_B25B}::DOUBLE * dl / p.avgdl)), 9) AS s "
+        "FROM tf JOIN dfx USING (term), p) "
+        "SELECT doc_id, round(sum(s), 6) AS score FROM s "
+        f"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_B25N}"
     )
     out["host_stats"] = (
         _canon_cte + ", h AS (SELECT "

@@ -150,6 +150,8 @@ def main() -> int:
         "bigram_surprisal": ops.bigram_surprisal,
         "crawl_diff": ops.crawl_diff,
         "incremental_content_dedup": ops.incremental_content_dedup,
+        "exact_substring_dup": ops.exact_substring_dup,
+        "bm25_topk": ops.bm25_topk,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -746,3 +746,62 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("shingles", "shingles_b")).alias("n_intersect"),
         F.size(F.array_union("shingles", "shingles_b")).alias("n_union"),
     )
+
+
+DUP_WINDOW_WORDS = 8
+
+
+def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication census (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every rolling DUP_WINDOW_WORDS-word window, is that exact word
+    sequence repeated ANYWHERE in the corpus (any doc, including the
+    same one)? Returns per doc (doc_id, n_windows, n_dup_windows,
+    dup_frac) — the span-level duplication fraction pipelines threshold
+    on before paying substring excision. Docs shorter than the window
+    produce no row (same convention as doc_fingerprint).
+
+    Scale shape: the single-machine reference algorithm is a suffix
+    array; the distributed re-expression is rolling-window HASHES — one
+    narrow in-row fold builds md5 per window (JVM-side, one md5 per
+    window), then the corpus-wide repeat test is ONE keyed aggregate on
+    the 16-byte hash and one keyed join back (never text-to-text).
+    Per-(doc,window) counts aggregate BEFORE the global count, so the
+    shuffle carries distinct (doc_id, whash) rows, and the final
+    per-doc rollup is a second keyed aggregate. Boilerplate windows
+    skew-cluster on popular hashes; AQE splits those reduce partitions.
+    The (doc_id, whash) aggregate feeds both the global-count branch
+    and the join side; AQE's ReuseExchange dedupes the two canonically
+    identical shuffles at runtime, so the window fold executes ONCE
+    (pinned in test_plans — no localCheckpoint needed here).
+    """
+    docs = _docs(spark, sf_dir)
+    k = DUP_WINDOW_WORDS
+    words = F.split("text", " ")
+    whashes = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = (
+        docs.select("doc_id", F.explode(whashes).alias("whash"))
+        .groupBy("doc_id", "whash")
+        .agg(F.count("*").alias("cnt"))
+    )
+    glob = inst.groupBy("whash").agg(F.sum("cnt").alias("gcnt"))
+    dup_cnt = F.sum(
+        F.when(F.col("gcnt") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    )
+    per_doc = (
+        inst.join(glob, "whash")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_windows"),
+             dup_cnt.alias("n_dup_windows"))
+    )
+    return per_doc.select(
+        "doc_id", "n_windows", "n_dup_windows",
+        F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
+        .alias("dup_frac"),
+    )

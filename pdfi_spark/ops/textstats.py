@@ -578,3 +578,61 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(contact, F.lit(EMAIL_RE)).alias("n_emails"),
         F.regexp_count(contact, F.lit(PHONE_RE)).alias("n_phones"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ["join", "table", "query"]
+BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus for a fixed query term set — the
+    scoring half of the decontamination/eval-retrieval loop (find the
+    training docs most relevant to a benchmark prompt). Okapi BM25 with
+    the Lucene idf variant: idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+    score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    Returns the top BM25_TOPK (doc_id, score), ties broken by doc_id.
+    Docs containing none of the query terms never enter the ranking.
+
+    Scale shape: the query-term filter lands INSIDE the explode (the
+    array is filtered before generation), so the per-(doc,term) tf
+    aggregate only ever carries |query| terms per doc; df is one more
+    tiny aggregate over that (|query| rows, broadcast back); avgdl and
+    N are metadata-cheap count aggregates. Top-k is orderBy+limit —
+    Spark plans TakeOrderedAndProject (per-partition partial top-k,
+    driver merge of K rows), never a single-partition global sort.
+
+    Determinism: N, df, tf, dl are exact integers; avgdl is one double
+    division of two exact integers (identical in both engines); idf is
+    snapped to 9 decimals, the per-term score to 9, the per-doc sum
+    (<= |query| addends, drift ~1e-15) to 6."""
+    docs = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_docs = docs.count()
+    total_words = docs.select(F.explode(words).alias("w")).count()
+    avgdl = total_words / n_docs  # exact ints -> one correctly-rounded double
+    hits = docs.select(
+        "doc_id",
+        F.size(words).alias("dl"),
+        F.explode(F.filter(words, lambda w: w.isin(BM25_QUERY)))
+        .alias("term"),
+    )
+    tf = hits.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.round(
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+              / (F.col("df") + 0.5) + 1.0), 9)
+    term_score = F.round(
+        F.col("idf") * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf")
+           + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.lit(avgdl))),
+        9,
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl.select("term", idf.alias("idf"))), "term")
+        .select("doc_id", term_score.alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)

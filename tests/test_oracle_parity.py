@@ -57,6 +57,8 @@ SUBSET = [
     "semdedup",
     "crawl_diff",
     "incremental_content_dedup",
+    "exact_substring_dup",
+    "bm25_topk",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

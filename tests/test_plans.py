@@ -465,6 +465,37 @@ def test_incremental_content_dedup_keyed_on_digest(spark):
     assert read_schema and all("lang" not in ln for ln in read_schema), plan
 
 
+def test_exact_substring_dup_keyed_on_whash(spark):
+    # corpus-wide repeat test is a keyed aggregate + keyed join on the
+    # window hash — never cartesian, never a single-partition funnel;
+    # scan reads only doc_id+text (window hashes computed in-row)
+    df = ops.exact_substring_dup(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "whash" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("lang" not in ln for ln in read_schema), plan
+    # the (doc_id, whash) aggregate feeds BOTH the global-count branch
+    # and the join side; AQE must dedupe it via ReuseExchange so the
+    # window-hash fold runs once (the no-checkpoint design depends on
+    # this — if it regresses, localCheckpoint the inst stage instead)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, final
+
+
+def test_bm25_topk_take_ordered(spark):
+    # top-k must be TakeOrderedAndProject (per-partition partial top-k),
+    # never a global sort through a single partition; the 3-row df
+    # dimension joins broadcast
+    plan = _plan(ops.bm25_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_semdedup_pairs_keyed_on_cell(spark):
     # the within-cell pair stage must be a join KEYED on centroid_id
     # (cost sum(cell^2)) — never a cartesian; the codebook rides along

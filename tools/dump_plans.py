@@ -130,6 +130,20 @@ CASES = [
      "once-checkpointed trained assignment; codebook rides along "
      "broadcast — no cartesian anywhere",
      None),
+    ("exact_substring_dup",
+     "Lee-et-al exact-substring census re-expressed distributed: "
+     "rolling 8-word window hashes are a narrow in-row fold (one "
+     "JVM-side md5 per window), the corpus-wide repeat test is one "
+     "keyed aggregate + one keyed join on the 16-byte hash — never "
+     "text-to-text, never cartesian, no single-partition funnel",
+     None),
+    ("bm25_topk",
+     "BM25 over a fixed query set: the term filter lands inside the "
+     "explode so the tf aggregate carries only |query| terms/doc; the "
+     "|query|-row df dimension is a BroadcastExchange; top-k is "
+     "TakeOrderedAndProject (per-partition partial top-k, driver merge "
+     "of K rows) — never a global single-partition sort",
+     None),
 ]
 
 
@@ -189,6 +203,8 @@ def main() -> int:
             "paragraph_dedup": "paragraph_dedup",
             "training_shuffle_manifest": "training_shuffle_manifest",
             "semdedup": "semdedup",
+            "exact_substring_dup": "exact_substring_dup",
+            "bm25_topk": "bm25_topk",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
