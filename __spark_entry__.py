@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["crawl_diff"] = ops.crawl_diff
     out["incremental_content_dedup"] = ops.incremental_content_dedup
     out["exact_substring_dup"] = ops.exact_substring_dup
+    out["exact_substring_excise"] = ops.exact_substring_excise
     out["bm25_topk"] = ops.bm25_topk
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
@@ -1609,6 +1610,32 @@ def oracle_sql() -> dict[str, str]:
         "GROUP BY doc_id) "
         "SELECT doc_id, n_windows, n_dup_windows, "
         "round(n_dup_windows / n_windows, 6) AS dup_frac FROM per_doc"
+    )
+    # excision twin: duplicated offsets per doc via the same window
+    # hashes; keep = no duplicated offset covers position i
+    # (list_filter over the tiny per-doc offset list); string_agg
+    # skips the CASE NULLs so kept words rejoin in position order
+    out["exact_substring_excise"] = (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "pos AS (SELECT doc_id, ws, unnest(range(0, len(ws))) AS i "
+        "FROM w), "
+        "inst AS (SELECT doc_id, i AS off, "
+        f"md5(array_to_string(ws[i+1:i+{_K}], ' ')) AS whash "
+        f"FROM pos WHERE i <= len(ws) - {_K}), "
+        "dup AS (SELECT whash FROM inst GROUP BY whash "
+        "HAVING count(*) >= 2), "
+        "offs AS (SELECT doc_id, list(off) AS offs FROM inst "
+        "JOIN dup USING (whash) GROUP BY doc_id), "
+        "tok AS (SELECT p.doc_id, p.i, p.ws[p.i+1] AS wd, "
+        "len(list_filter(coalesce(o.offs, []), "
+        f"x -> p.i >= x AND p.i <= x + {_K - 1})) = 0 AS keep "
+        "FROM pos p LEFT JOIN offs o ON p.doc_id = o.doc_id) "
+        "SELECT doc_id, "
+        "coalesce(string_agg(CASE WHEN keep THEN wd END, ' ' "
+        "ORDER BY i), '') AS clean_text, "
+        "sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT "
+        "AS n_removed_words FROM tok GROUP BY doc_id"
     )
     # idf/term-score snapped to 9 then the per-doc sum to 6, mirroring
     # the Spark expression tree; avgdl = one double division of two

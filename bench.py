@@ -151,6 +151,7 @@ def main() -> int:
         "crawl_diff": ops.crawl_diff,
         "incremental_content_dedup": ops.incremental_content_dedup,
         "exact_substring_dup": ops.exact_substring_dup,
+        "exact_substring_excise": ops.exact_substring_excise,
         "bm25_topk": ops.bm25_topk,
     }
     round1_set = {

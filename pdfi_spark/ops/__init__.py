@@ -6,7 +6,7 @@ the explicitly Arrow-batched multimodal decode stubs. Each operator has
 an ANSI-SQL oracle twin in __spark_entry__.oracle_sql().
 """
 from .dedup import (dedup_clusters, dedup_clusters_128, dedup_exact,
-                    exact_substring_dup,
+                    exact_substring_dup, exact_substring_excise,
                     minhash128_jaccard_estimates, minhash128_lsh_buckets,
                     minhash128_signatures, minhash_lsh_buckets,
                     minhash_signatures, ngram_jaccard_pairs, simhash,
@@ -68,7 +68,7 @@ __all__ = [
     "ngram_jaccard_pairs", "simhash_neardup_pairs", "pii_scrub",
     "anchor_text_index", "frontier_schedule", "paragraph_dedup",
     "crawl_diff", "incremental_content_dedup",
-    "exact_substring_dup", "bm25_topk",
+    "exact_substring_dup", "exact_substring_excise", "bm25_topk",
     "pack_training_shards", "training_shuffle_manifest",
     "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
     "semdedup",

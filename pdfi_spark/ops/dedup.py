@@ -805,3 +805,56 @@ def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_dup_windows") / F.col("n_windows"), 6)
         .alias("dup_frac"),
     )
+
+
+def exact_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The action half of exact_substring_dup (Lee et al. 2021): remove
+    every word covered by a corpus-repeated DUP_WINDOW_WORDS-word
+    window and reassemble the doc. Returns one row per doc (doc_id,
+    clean_text, n_removed_words) — short docs and dup-free docs pass
+    through verbatim with 0 removed.
+
+    Scale shape: same repeat test as the census — per-(doc, offset)
+    window hashes are a narrow in-row fold, the repeated-hash set is
+    one keyed aggregate, and the duplicated offsets come back as ONE
+    keyed join + per-doc collect_list (offset lists are as small as
+    the duplication they describe). Excision itself is in-row: a
+    filter-with-index lambda drops positions covered by any duplicated
+    offset — the text never joins against text. The inst subtree feeds
+    both the repeat aggregate and the offsets join; AQE ReuseExchange
+    dedupes the two whash shuffles at runtime (same property as the
+    census, pinned there)."""
+    docs = _docs(spark, sf_dir)
+    k = DUP_WINDOW_WORDS
+    wdocs = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    whashes = F.when(
+        F.size("ws") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = wdocs.select(
+        "doc_id", F.posexplode(whashes).alias("off", "whash")
+    )
+    dup_hashes = (
+        inst.groupBy("whash").agg(F.count("*").alias("gcnt"))
+        .filter(F.col("gcnt") >= 2).select("whash")
+    )
+    offs_tbl = (
+        inst.join(dup_hashes, "whash")
+        .groupBy("doc_id")
+        .agg(F.collect_list("off").alias("offs"))
+    )
+    joined = wdocs.join(offs_tbl, "doc_id", "left")
+    offs = F.coalesce(F.col("offs"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(offs, lambda o: (i >= o) & (i <= o + k - 1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("ws") - F.size(kept)).cast("long")
+        .alias("n_removed_words"),
+    )

@@ -58,6 +58,7 @@ SUBSET = [
     "crawl_diff",
     "incremental_content_dedup",
     "exact_substring_dup",
+    "exact_substring_excise",
     "bm25_topk",
     "media_metadata",
     "top_events_per_user",

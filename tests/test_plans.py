@@ -486,6 +486,16 @@ def test_exact_substring_dup_keyed_on_whash(spark):
     assert "ReusedExchange" in final, final
 
 
+def test_exact_substring_excise_in_row(spark):
+    # excision is in-row (filter-with-index over the words array): the
+    # text side never joins against text — the only joins are the
+    # whash-keyed dup join and the doc_id-keyed offsets join-back
+    plan = _plan(ops.exact_substring_excise(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "collect_list" in plan and "whash" in plan, plan
+
+
 def test_bm25_topk_take_ordered(spark):
     # top-k must be TakeOrderedAndProject (per-partition partial top-k),
     # never a global sort through a single partition; the 3-row df

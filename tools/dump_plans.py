@@ -137,6 +137,11 @@ CASES = [
      "keyed aggregate + one keyed join on the 16-byte hash — never "
      "text-to-text, never cartesian, no single-partition funnel",
      None),
+    ("exact_substring_excise",
+     "the excision half of the Lee-et-al pass: duplicated offsets come "
+     "back as one keyed join + per-doc collect_list; the word drop is an "
+     "in-row filter-with-index lambda — text never joins against text",
+     None),
     ("bm25_topk",
      "BM25 over a fixed query set: the term filter lands inside the "
      "explode so the tf aggregate carries only |query| terms/doc; the "
@@ -204,6 +209,7 @@ def main() -> int:
             "training_shuffle_manifest": "training_shuffle_manifest",
             "semdedup": "semdedup",
             "exact_substring_dup": "exact_substring_dup",
+            "exact_substring_excise": "exact_substring_excise",
             "bm25_topk": "bm25_topk",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
