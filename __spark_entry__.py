@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["exact_substring_dup"] = ops.exact_substring_dup
     out["exact_substring_excise"] = ops.exact_substring_excise
     out["bm25_topk"] = ops.bm25_topk
+    out["surprisal_buckets"] = ops.surprisal_buckets
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1666,6 +1667,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM tf JOIN dfx USING (term), p) "
         "SELECT doc_id, round(sum(s), 6) AS score FROM s "
         f"GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {_B25N}"
+    )
+    # per-lang tercile thresholds via quantile_cont (bit-matches Spark's
+    # exact percentile — length_percentiles precedent), snapped to 9;
+    # tercile fractions embedded via repr so both engines see the same
+    # double literal
+    from pdfi_spark.ops.textstats import SURPRISAL_TERCILES as _TERC
+    out["surprisal_buckets"] = (
+        "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "tot AS (SELECT count(*)::DOUBLE AS total FROM w), "
+        "freq AS (SELECT term, round(-ln(count(*)::DOUBLE / tot.total), "
+        "9) AS s FROM w, tot GROUP BY term, tot.total), "
+        "sdoc AS (SELECT w.doc_id, round(avg(f.s), 6) AS mean_surprisal "
+        "FROM w JOIN freq f USING (term) GROUP BY w.doc_id), "
+        "s2 AS (SELECT sdoc.doc_id, d.lang, sdoc.mean_surprisal "
+        "FROM sdoc JOIN documents d USING (doc_id)), "
+        "th AS (SELECT lang, "
+        f"round(quantile_cont(mean_surprisal, {_TERC[0]!r}), 9) AS t1, "
+        f"round(quantile_cont(mean_surprisal, {_TERC[1]!r}), 9) AS t2 "
+        "FROM s2 GROUP BY lang) "
+        "SELECT s2.doc_id, s2.lang, s2.mean_surprisal, "
+        "CASE WHEN mean_surprisal <= t1 THEN 'head' "
+        "WHEN mean_surprisal <= t2 THEN 'middle' ELSE 'tail' END "
+        "AS bucket FROM s2 JOIN th USING (lang)"
     )
     out["host_stats"] = (
         _canon_cte + ", h AS (SELECT "

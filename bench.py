@@ -153,6 +153,7 @@ def main() -> int:
         "exact_substring_dup": ops.exact_substring_dup,
         "exact_substring_excise": ops.exact_substring_excise,
         "bm25_topk": ops.bm25_topk,
+        "surprisal_buckets": ops.surprisal_buckets,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -49,6 +49,7 @@ from .textstats import (
     lang_balance_sample,
     tfidf_top_terms,
     unigram_surprisal,
+    surprisal_buckets,
     bm25_topk,
     pack_training_shards,
     training_shuffle_manifest,
@@ -69,6 +70,7 @@ __all__ = [
     "anchor_text_index", "frontier_schedule", "paragraph_dedup",
     "crawl_diff", "incremental_content_dedup",
     "exact_substring_dup", "exact_substring_excise", "bm25_topk",
+    "surprisal_buckets",
     "pack_training_shards", "training_shuffle_manifest",
     "bigram_surprisal", "cosine_topk", "cosine_adjacent_pairs",
     "semdedup",

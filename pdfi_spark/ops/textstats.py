@@ -636,3 +636,51 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
+
+
+SURPRISAL_TERCILES = [1 / 3, 2 / 3]
+
+
+def surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail selection completed end-to-end: bucket
+    every doc by where its mean unigram surprisal falls within its
+    LANGUAGE's tercile thresholds (head = most fluent third). Pipelines
+    keep head+middle and drop tail — this emits the assignment:
+    (doc_id, lang, mean_surprisal, bucket).
+
+    Scale shape: deliberately NOT a per-lang ntile window (a handful of
+    langs => a handful of sort partitions — the same single-partition
+    funnel lang_balance_sample avoids). Instead the thresholds are a
+    tiny per-lang aggregate (2 cut points/lang) broadcast back, and
+    bucketing is a narrow CASE. Exact `percentile` under the gate for
+    the bit-matching quantile_cont twin; at 10^12 rows production swaps
+    approx_percentile, same plan shape (length_percentiles precedent).
+    The surprisal subtree feeds both the threshold aggregate and the
+    join-back; its per-doc aggregate exchange is canonically identical
+    on both branches, so AQE ReuseExchange runs it once (same property
+    pinned for exact_substring_dup). Determinism: inputs are on the
+    1e-6 grid; interpolated thresholds snap to 9 decimals (engine
+    interpolation-order drift ~1 ulp cannot reach that grid)."""
+    docs = _docs(spark, sf_dir)
+    s = unigram_surprisal(spark, sf_dir).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "lang", "mean_surprisal")
+    qs = F.percentile(
+        "mean_surprisal", F.array(*[F.lit(p) for p in SURPRISAL_TERCILES])
+    )
+    th = (
+        s.groupBy("lang").agg(qs.alias("qs"))
+        .select(
+            "lang",
+            F.round(F.element_at("qs", 1), 9).alias("t1"),
+            F.round(F.element_at("qs", 2), 9).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("mean_surprisal") <= F.col("t1"), "head")
+        .when(F.col("mean_surprisal") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return s.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "mean_surprisal", bucket.alias("bucket")
+    )

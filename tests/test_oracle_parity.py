@@ -60,6 +60,7 @@ SUBSET = [
     "exact_substring_dup",
     "exact_substring_excise",
     "bm25_topk",
+    "surprisal_buckets",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

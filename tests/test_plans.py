@@ -506,6 +506,19 @@ def test_bm25_topk_take_ordered(spark):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_surprisal_buckets_no_per_lang_window(spark):
+    # bucketing is threshold-broadcast + narrow CASE — never a per-lang
+    # ntile window (few langs => few sort partitions = a funnel);
+    # thresholds ride back as a BroadcastExchange
+    plan = _plan(ops.surprisal_buckets(spark, SF))
+    # "ntile" is a substring of "percentile" — the Window check is the
+    # real funnel guard
+    assert "Window" not in plan, plan
+    assert "percentile" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_semdedup_pairs_keyed_on_cell(spark):
     # the within-cell pair stage must be a join KEYED on centroid_id
     # (cost sum(cell^2)) — never a cartesian; the codebook rides along

@@ -142,6 +142,13 @@ CASES = [
      "back as one keyed join + per-doc collect_list; the word drop is an "
      "in-row filter-with-index lambda — text never joins against text",
      None),
+    ("surprisal_buckets",
+     "CCNet head/middle/tail selection with NO per-lang ntile window "
+     "(few langs = few sort partitions = a funnel): per-lang tercile "
+     "thresholds are a 2-value aggregate broadcast back, bucketing a "
+     "narrow CASE; exact percentile under the gate, approx_percentile "
+     "the documented 10^12-row swap",
+     None),
     ("bm25_topk",
      "BM25 over a fixed query set: the term filter lands inside the "
      "explode so the tf aggregate carries only |query| terms/doc; the "
@@ -211,6 +218,7 @@ def main() -> int:
             "exact_substring_dup": "exact_substring_dup",
             "exact_substring_excise": "exact_substring_excise",
             "bm25_topk": "bm25_topk",
+            "surprisal_buckets": "surprisal_buckets",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
