@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["exact_substring_excise"] = ops.exact_substring_excise
     out["bm25_topk"] = ops.bm25_topk
     out["surprisal_buckets"] = ops.surprisal_buckets
+    out["link_graph_hits"] = ops.link_graph_hits
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1510,6 +1511,45 @@ def oracle_sql() -> dict[str, str]:
     out["link_graph_pagerank_dangling"] = _prd + (
         f" SELECT doc_id, round(rank, 6) AS pagerank FROM r{_PR_K} "
         f"ORDER BY pagerank DESC, doc_id LIMIT {_PR_TOPK}"
+    )
+    # HITS: unroll the mutual power iteration; per-node sums AND the L1
+    # totals snapped to 12 each half-step (same determinism recipe as
+    # pagerank above); sc is the per-level score column (auth in a{i},
+    # hub in h{i})
+    from pdfi_spark.ops.webtext import (
+        HITS_ITERS as _HI_K,
+        HITS_TOPK as _HI_T,
+    )
+
+    _hits = _edges_cte + (
+        ", h0 AS (SELECT doc_id, "
+        "round(CAST(1.0 AS DOUBLE) / n.n_docs, 12) AS sc "
+        "FROM documents, n) "
+    )
+    for _i in range(1, _HI_K + 1):
+        _hits += (
+            f", ar{_i} AS (SELECT d.doc_id, coalesce(s.raw, 0) AS raw "
+            f"FROM documents d LEFT JOIN (SELECT e.dst AS doc_id, "
+            f"round(sum(h{_i - 1}.sc), 12) AS raw FROM edges e "
+            f"JOIN h{_i - 1} ON h{_i - 1}.doc_id = e.src "
+            f"GROUP BY e.dst) s ON s.doc_id = d.doc_id), "
+            f"at{_i} AS (SELECT round(sum(raw), 12) AS tot FROM ar{_i}), "
+            f"a{_i} AS (SELECT doc_id, round(raw / t.tot, 12) AS sc "
+            f"FROM ar{_i}, at{_i} t), "
+            f"hr{_i} AS (SELECT d.doc_id, coalesce(s.raw, 0) AS raw "
+            f"FROM documents d LEFT JOIN (SELECT e.src AS doc_id, "
+            f"round(sum(a{_i}.sc), 12) AS raw FROM edges e "
+            f"JOIN a{_i} ON a{_i}.doc_id = e.dst "
+            f"GROUP BY e.src) s ON s.doc_id = d.doc_id), "
+            f"ht{_i} AS (SELECT round(sum(raw), 12) AS tot FROM hr{_i}), "
+            f"h{_i} AS (SELECT doc_id, round(raw / t.tot, 12) AS sc "
+            f"FROM hr{_i}, ht{_i} t)"
+        )
+    out["link_graph_hits"] = _hits + (
+        f" SELECT a.doc_id AS doc_id, round(a.sc, 6) AS authority, "
+        f"round(h.sc, 6) AS hub_score FROM a{_HI_K} a "
+        f"JOIN h{_HI_K} h ON a.doc_id = h.doc_id "
+        f"ORDER BY authority DESC, doc_id LIMIT {_HI_T}"
     )
     # URL canonicalization: the raw messy URL is planted closed-form in
     # doc_id (ops/webtext._raw_url_expr), so the oracle rebuilds the

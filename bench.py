@@ -154,6 +154,7 @@ def main() -> int:
         "exact_substring_excise": ops.exact_substring_excise,
         "bm25_topk": ops.bm25_topk,
         "surprisal_buckets": ops.surprisal_buckets,
+        "link_graph_hits": ops.link_graph_hits,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -32,7 +32,8 @@ from .webtext import (anchor_text_index, corpus_build_counts,
                       html_content_spans,
                       html_main_content, html_outlinks,
                       paragraph_dedup,
-                      link_graph_degrees, link_graph_pagerank,
+                      link_graph_degrees, link_graph_hits,
+                      link_graph_pagerank,
                       link_graph_pagerank_dangling,
                       host_stats, read_warc_pages, robots_filter,
                       strip_boilerplate,
@@ -81,7 +82,8 @@ __all__ = [
     "html_main_content", "html_block_stats", "strip_boilerplate",
     "html_outlinks", "html_content_spans", "corpus_build_counts",
     "link_graph_degrees",
-    "link_graph_pagerank", "link_graph_pagerank_dangling",
+    "link_graph_hits", "link_graph_pagerank",
+    "link_graph_pagerank_dangling",
     "host_stats", "read_warc_pages", "robots_filter", "url_canonicalize", "url_dedup_counts",
     "warc_extract", "wet_export",
 ]

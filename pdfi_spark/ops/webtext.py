@@ -957,3 +957,79 @@ def html_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_blocks int, n_content_blocks int, "
                "n_boiler_blocks int, n_content_words int, n_boiler_words int",
     )
+
+
+HITS_ITERS = 3
+HITS_TOPK = 20
+
+
+def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the extracted outlink graph — the
+    hubs-and-authorities complement to PageRank (authority = linked-to
+    by good hubs; hub = links to good authorities; the classic spam- /
+    directory-page separator a link-quality pipeline computes next to
+    rank). Fixed HITS_ITERS mutual power iterations with L1
+    normalization per step; returns the top HITS_TOPK
+    (doc_id, authority, hub_score) by authority.
+
+    Determinism across engines (same recipe as _pagerank_topk): every
+    per-node sum AND each L1 total is snapped to 12 decimals, so
+    accumulation-order drift (~1e-16) can never reach the grid and the
+    unrolled DuckDB twin reproduces every iterate exactly. The L1 total
+    is a 1-row aggregate broadcast back (never a collect).
+
+    At 100 TB: edges checkpoint once and feed all iterations; each
+    half-step is one keyed join (src or dst) + one hash-aggregate;
+    production co-partitions edges by src and keeps a dst-keyed copy so
+    only the score side moves per half-step."""
+    nodes = _base(spark, sf_dir).select("doc_id")
+    n_docs = nodes.count()
+    edges = (
+        html_outlinks(spark, sf_dir, n_docs=n_docs)
+        .select("src", "dst").localCheckpoint(eager=True)
+    )
+
+    def _half(scores, score_col, join_key, out_key):
+        """One HITS half-step: sum scores across edges onto the other
+        endpoint, then L1-normalize (snapped at 12 both stages)."""
+        raw = (
+            edges.join(
+                scores.withColumnRenamed("doc_id", join_key)
+                .withColumnRenamed(score_col, "s_in"),
+                join_key,
+            )
+            .groupBy(F.col(out_key).alias("doc_id"))
+            .agg(F.round(F.sum("s_in"), 12).alias("raw"))
+        )
+        full = nodes.join(raw, "doc_id", "left").select(
+            "doc_id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        tot = full.agg(F.round(F.sum("raw"), 12).alias("tot"))
+        return (
+            full.crossJoin(F.broadcast(tot))  # 1 row: the L1 scalar
+            .select(
+                "doc_id",
+                F.round(F.col("raw") / F.col("tot"), 12).alias(score_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    hubs = nodes.select(
+        "doc_id", F.round(F.lit(1.0 / n_docs), 12).alias("hub")
+    )
+    auths = None
+    for _ in range(HITS_ITERS):
+        auths = _half(hubs.withColumnRenamed("hub", "auth"),
+                      "auth", "src", "dst")
+        hubs = _half(auths.withColumnRenamed("auth", "hub"),
+                     "hub", "dst", "src")
+    return (
+        auths.join(hubs, "doc_id")
+        .select(
+            "doc_id",
+            F.round("auth", 6).alias("authority"),
+            F.round("hub", 6).alias("hub_score"),
+        )
+        .orderBy(F.desc("authority"), "doc_id")
+        .limit(HITS_TOPK)
+    )

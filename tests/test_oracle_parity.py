@@ -61,6 +61,7 @@ SUBSET = [
     "exact_substring_excise",
     "bm25_topk",
     "surprisal_buckets",
+    "link_graph_hits",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -254,6 +254,19 @@ def test_pagerank_dangling_mass_is_broadcast_not_cartesian(spark):
     assert "Sort " not in plan
 
 
+def test_hits_l1_total_is_broadcast_not_cartesian(spark):
+    # each half-step's L1 total joins back as a BROADCAST of one row
+    # (BroadcastNestedLoopJoin), never a CartesianProduct over data and
+    # never a driver-side collect; final stage is top-k without a
+    # global sort (same recipe as the pagerank dangling-mass scalar)
+    plan = _plan(ops.link_graph_hits(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Cartesian" not in plan
+    # the final authority-hub join is keyed (its SMJ sorts are
+    # per-partition); the funnel guard is no single-partition Exchange
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """The steady-state 100 TB layout claim, executed: two tables
     bucketed by the SAME key/count join with ZERO Exchange (each task

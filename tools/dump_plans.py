@@ -130,6 +130,12 @@ CASES = [
      "once-checkpointed trained assignment; codebook rides along "
      "broadcast — no cartesian anywhere",
      None),
+    ("link_graph_hits",
+     "HITS mutual power iteration: per half-step one keyed join + one "
+     "hash-aggregate; the L1 normalizer is a 1-row aggregate broadcast "
+     "back (BroadcastNestedLoopJoin of one row, never a collect, never "
+     "a cartesian over data); final stage TakeOrderedAndProject",
+     None),
     ("exact_substring_dup",
      "Lee-et-al exact-substring census re-expressed distributed: "
      "rolling 8-word window hashes are a narrow in-row fold (one "
@@ -216,6 +222,7 @@ def main() -> int:
             "training_shuffle_manifest": "training_shuffle_manifest",
             "semdedup": "semdedup",
             "exact_substring_dup": "exact_substring_dup",
+            "link_graph_hits": "link_graph_hits",
             "exact_substring_excise": "exact_substring_excise",
             "bm25_topk": "bm25_topk",
             "surprisal_buckets": "surprisal_buckets",
