@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bm25_topk"] = ops.bm25_topk
     out["surprisal_buckets"] = ops.surprisal_buckets
     out["link_graph_hits"] = ops.link_graph_hits
+    out["cdx_index"] = ops.cdx_index
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1738,6 +1739,23 @@ def oracle_sql() -> dict[str, str]:
         "canon_url FROM canon) "
         "SELECT host, count(*) AS n_pages, "
         "count(DISTINCT canon_url) AS n_canon_urls FROM h GROUP BY host"
+    )
+    # CDX capture index: SURT urlkey = reversed host labels + ')' +
+    # path?query slice of the same canonical URL; the deterministic ts
+    # and digest are planted closed-form from doc_id/text
+    out["cdx_index"] = (
+        _canon_cte + ", h AS (SELECT doc_id, canon_url, "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+        "regexp_extract(canon_url, '^[a-z]+://[^/?#]+(.*)$', 1) AS rest "
+        "FROM canon) "
+        "SELECT d.doc_id, "
+        "array_to_string(list_reverse(string_split(h.host, '.')), ',') "
+        "|| ')' || h.rest AS urlkey, "
+        "'202601' || lpad(((d.doc_id % 28) + 1)::VARCHAR, 2, '0') "
+        "|| '000000' AS ts, "
+        "h.canon_url AS url, md5(d.text) AS digest, "
+        "d.n_chars AS n_bytes "
+        "FROM documents d JOIN h USING (doc_id)"
     )
     # robots verdicts: the oracle derives its closed-form CASE from the
     # SAME parser (core/robots.rules_for) at SQL-build time — rules

@@ -155,6 +155,7 @@ def main() -> int:
         "bm25_topk": ops.bm25_topk,
         "surprisal_buckets": ops.surprisal_buckets,
         "link_graph_hits": ops.link_graph_hits,
+        "cdx_index": ops.cdx_index,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -26,7 +26,7 @@ from .similarity import (
     lsh_ann_buckets,
     semdedup,
 )
-from .webtext import (anchor_text_index, corpus_build_counts,
+from .webtext import (anchor_text_index, cdx_index, corpus_build_counts,
                       crawl_diff, incremental_content_dedup,
                       frontier_schedule, html_block_stats,
                       html_content_spans,
@@ -85,5 +85,5 @@ __all__ = [
     "link_graph_hits", "link_graph_pagerank",
     "link_graph_pagerank_dangling",
     "host_stats", "read_warc_pages", "robots_filter", "url_canonicalize", "url_dedup_counts",
-    "warc_extract", "wet_export",
+    "warc_extract", "wet_export", "cdx_index",
 ]

@@ -1033,3 +1033,43 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("authority"), "doc_id")
         .limit(HITS_TOPK)
     )
+
+
+def cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index — the Common-Crawl-style URL index a crawl
+    publishes beside its WARCs so consumers can look up captures
+    without scanning archives: per capture (doc_id, urlkey, ts, url,
+    digest, n_bytes). urlkey is the SURT form of the canonical URL
+    (host labels reversed and comma-joined: com,example)/path?query —
+    sorts by registrable domain); ts is a deterministic
+    YYYYMMDDhhmmss capture stamp planted from doc_id; digest is the
+    payload md5 (production CDX uses SHA1 — same plumbing, different
+    hash constant).
+
+    Scale shape: a pure narrow codegen rule chain over the
+    canonicalizer — zero exchange. Production writes the index
+    range-partitioned + sortWithinPartitions(urlkey) so shard files
+    concatenate into the globally sorted CDX; the rows here are
+    emitted unsorted (the sort is a sink property, not part of the
+    per-capture map)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = canonical_url(_raw_url_expr())
+    host = F.regexp_extract(canon, "^[a-z]+://([^/:?#]+)", 1)
+    rest = F.regexp_extract(canon, "^[a-z]+://[^/?#]+(.*)$", 1)
+    surt = F.concat(
+        F.concat_ws(",", F.reverse(F.split(host, "\\."))),
+        F.lit(")"), rest,
+    )
+    ts = F.concat(
+        F.lit("202601"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("000000"),
+    )
+    return docs.select(
+        "doc_id",
+        surt.alias("urlkey"),
+        ts.alias("ts"),
+        canon.alias("url"),
+        F.md5("text").alias("digest"),
+        F.col("n_chars").alias("n_bytes"),
+    )

@@ -62,6 +62,7 @@ SUBSET = [
     "bm25_topk",
     "surprisal_buckets",
     "link_graph_hits",
+    "cdx_index",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

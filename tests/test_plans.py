@@ -254,6 +254,14 @@ def test_pagerank_dangling_mass_is_broadcast_not_cartesian(spark):
     assert "Sort " not in plan
 
 
+def test_cdx_index_zero_exchange(spark):
+    # the capture index is a pure narrow codegen rule chain over the
+    # canonicalizer: zero Exchange, no Python stage
+    plan = _plan(ops.cdx_index(spark, SF))
+    assert plan.count("Exchange") == 0, plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
 def test_hits_l1_total_is_broadcast_not_cartesian(spark):
     # each half-step's L1 total joins back as a BROADCAST of one row
     # (BroadcastNestedLoopJoin), never a CartesianProduct over data and

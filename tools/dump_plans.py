@@ -130,6 +130,13 @@ CASES = [
      "once-checkpointed trained assignment; codebook rides along "
      "broadcast — no cartesian anywhere",
      None),
+    ("cdx_index",
+     "the CDX capture index is a pure narrow codegen rule chain over "
+     "the canonicalizer (SURT urlkey + planted ts + payload digest): "
+     "zero Exchange, no Python stage; the globally-sorted CDX file is "
+     "a sink property (range partition + sortWithinPartitions), not "
+     "part of the per-capture map",
+     None),
     ("link_graph_hits",
      "HITS mutual power iteration: per half-step one keyed join + one "
      "hash-aggregate; the L1 normalizer is a 1-row aggregate broadcast "
@@ -223,6 +230,7 @@ def main() -> int:
             "semdedup": "semdedup",
             "exact_substring_dup": "exact_substring_dup",
             "link_graph_hits": "link_graph_hits",
+            "cdx_index": "cdx_index",
             "exact_substring_excise": "exact_substring_excise",
             "bm25_topk": "bm25_topk",
             "surprisal_buckets": "surprisal_buckets",
