@@ -572,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["surprisal_buckets"] = ops.surprisal_buckets
     out["link_graph_hits"] = ops.link_graph_hits
     out["cdx_index"] = ops.cdx_index
+    out["pq_codes"] = ops.pq_codes
+    out["pq_topk"] = ops.pq_topk
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -743,6 +745,38 @@ def _ivf_assigned_cte() -> str:
         "QUALIFY row_number() OVER (PARTITION BY vec_id "
         "ORDER BY cos_c DESC, centroid_id ASC) = 1)"
     )
+
+
+def _pq_cte() -> str:
+    """CTE chain reproducing ops.similarity._pq_codes_long in SQL:
+    subspace slices for every vector, the first-PQ_CODES sub-codebooks,
+    per-(vector, subspace) squared-L2 argmin (ties -> centroid_id).
+    The fold and list_sum both accumulate in element order, so the
+    unrounded d2 doubles match bit-for-bit (same property the IVF
+    cosine assignment relies on)."""
+    from pdfi_spark.ops.similarity import PQ_CODES, PQ_M, PQ_SUBDIM
+
+    l2 = _PQ_L2SQ.format(a="s.sv", b="c.cvec", n=PQ_SUBDIM)
+    return (
+        f"WITH ms AS (SELECT unnest(range(0, {PQ_M})) AS m), "
+        "sv AS (SELECT e.vec_id, ms.m, list_slice(e.embedding, "
+        f"ms.m * {PQ_SUBDIM} + 1, ms.m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv "
+        "FROM embeddings e CROSS JOIN ms), "
+        "cs AS (SELECT vec_id AS centroid_id, m, sv AS cvec FROM sv "
+        f"WHERE vec_id < {PQ_CODES}), "
+        "scored AS (SELECT s.vec_id, s.m, c.centroid_id, "
+        f"{l2} AS d2 FROM sv s JOIN cs c USING (m)), "
+        "codes AS (SELECT vec_id, m, centroid_id AS code FROM scored "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id, m "
+        "ORDER BY d2 ASC, centroid_id ASC) = 1)"
+    )
+
+
+_PQ_L2SQ = (
+    "list_sum(list_transform(range(1, {n} + 1), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) * "
+    "({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+)
 
 
 def _ivf_train_cte(iters: int = 2) -> tuple[list[str], str]:
@@ -1336,6 +1370,29 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT a.vec_id, (round({cos_q}, 3) + 0.0) AS cosine "
         "FROM assigned a, q WHERE a.centroid_id = q.qcell AND a.vec_id <> 0 "
         "ORDER BY cosine DESC, a.vec_id ASC LIMIT 10"
+    )
+    from pdfi_spark.ops.similarity import PQ_M, PQ_SUBDIM, PQ_TOPK
+
+    out["pq_codes"] = (
+        _pq_cte() + " SELECT vec_id, " + ", ".join(
+            f"max(CASE WHEN m = {m} THEN code END) AS code{m}"
+            for m in range(PQ_M)
+        ) + " FROM codes GROUP BY vec_id"
+    )
+    # ADC: the query-to-sub-centroid distance table snaps to 9 (both
+    # engines sum in element order, so this is belt-and-braces); the
+    # PQ_M-addend per-vector sum snaps to 6 so shuffle-order drift on
+    # the Spark side cannot reach the grid
+    qd2 = _PQ_L2SQ.format(a="q.qv", b="c.cvec", n=PQ_SUBDIM)
+    out["pq_topk"] = (
+        _pq_cte()
+        + ", q AS (SELECT m, sv AS qv FROM sv WHERE vec_id = 0), "
+        f"qtab AS (SELECT c.m, c.centroid_id AS code, round({qd2}, 9) "
+        "AS qd2 FROM q JOIN cs c USING (m)), "
+        "est AS (SELECT cd.vec_id, round(sum(qd2), 6) AS est_d2 "
+        "FROM codes cd JOIN qtab USING (m, code) GROUP BY cd.vec_id) "
+        "SELECT vec_id, est_d2 FROM est "
+        f"ORDER BY est_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}"
     )
     from pdfi_spark.ops.multimodal import MAGIC
 

@@ -447,3 +447,114 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
         )
     )
     return probe.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+# --- product quantization: the 10^12-vector ANN memory path ---
+# IVF prunes which vectors to score; PQ shrinks what each vector costs
+# to score (Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search"): the 64-dim float vector becomes PQ_M sub-codebook
+# codes, and query distance is an additive lookup (ADC) into a tiny
+# per-query table — no full-vector math per candidate.
+PQ_M = 4        # subspaces
+PQ_SUBDIM = 16  # 64-dim embeddings -> 16 dims per subspace
+PQ_CODES = 8    # centroids per sub-codebook
+PQ_TOPK = 10
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subspaces(df, id_col: str, out_col: str):
+    """Explode each vector into its PQ_M subvectors: (id, m, out_col)."""
+    structs = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        )
+        for m in range(PQ_M)
+    ])
+    return df.select(id_col, F.explode(structs).alias("e")).select(
+        id_col, F.col("e.m").alias("m"), F.col("e.sv").alias(out_col)
+    )
+
+
+def _pq_dim(emb: DataFrame) -> DataFrame:
+    """(m, centroid_id, cvec): the M sub-codebooks from the first
+    PQ_CODES vectors — the same deterministic stand-in as _centroids
+    (production trains per-subspace k-means over a sample; the encode/
+    search machinery below is identical either way)."""
+    cent = emb.filter(F.col("vec_id") < PQ_CODES).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    return _pq_subspaces(cent, "centroid_id", "cvec")
+
+
+def _pq_codes_long(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest sub-centroid per subspace by squared
+    L2, ties to the smaller centroid_id. The sub-codebook is a
+    PQ_M*PQ_CODES-row broadcast; the argmin is min_by under groupBy
+    (map-side partials — the shuffle carries one row per (vector,
+    subspace), never per candidate centroid)."""
+    sv = _pq_subspaces(emb, "vec_id", "sv")
+    scored = sv.join(F.broadcast(_pq_dim(emb)), "m").select(
+        "vec_id", "m", "centroid_id",
+        _l2sq(F.col("sv"), F.col("cvec")).alias("d2"),
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias("code")
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: every vector compressed to PQ_M one-byte codes
+    (vec_id, code0..code3) — 64 floats (256 B) down to 4 B/vector, the
+    compression that lets a 10^12-vector index live in memory."""
+    return _pq_codes_from(_emb(spark, sf_dir))
+
+
+def _pq_codes_from(emb: DataFrame) -> DataFrame:
+    long = _pq_codes_long(emb)
+    return long.groupBy("vec_id").agg(*[
+        F.max(F.when(F.col("m") == m, F.col("code"))).alias(f"code{m}")
+        for m in range(PQ_M)
+    ])
+
+
+def pq_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
+            k: int = PQ_TOPK) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search: the query's distance to
+    every sub-centroid is a PQ_M*PQ_CODES-row table (computed once,
+    broadcast); each candidate's estimated distance is then PQ_M table
+    lookups summed — never full-vector math per candidate. Returns the
+    top-k (vec_id, est_d2), estimated distance ascending, ties by
+    vec_id; TakeOrderedAndProject, no global sort. Determinism: per-
+    entry distances snap to 9 (element-order-exact sums both engines),
+    the PQ_M-addend per-vector sum to 6."""
+    return _pq_topk_from(_emb(spark, sf_dir), query_vec_id, k)
+
+
+def _pq_topk_from(emb: DataFrame, query_vec_id: int = 0,
+                  k: int = PQ_TOPK) -> DataFrame:
+    q = _pq_subspaces(
+        emb.filter(F.col("vec_id") == query_vec_id), "vec_id", "qv"
+    )
+    qtab = q.join(_pq_dim(emb), "m").select(
+        "m", F.col("centroid_id").alias("code"),
+        F.round(_l2sq(F.col("qv"), F.col("cvec")), 9).alias("qd2"),
+    )
+    est = (
+        _pq_codes_long(emb)
+        .join(F.broadcast(qtab), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("est_d2"))
+    )
+    return est.orderBy("est_d2", "vec_id").limit(k)

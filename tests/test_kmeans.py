@@ -48,3 +48,50 @@ def test_trained_codebook_reassigns_all_vectors(spark):
     cells = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
     assert len(cells) == 5
     assert cells[0] == cells[2] and cells[1] == cells[3]
+
+
+def _const_subspace_vec(levels):
+    """64-dim vector: subspace m is [levels[m]] * 16."""
+    from pdfi_spark.ops.similarity import PQ_M, PQ_SUBDIM
+
+    assert len(levels) == PQ_M
+    return [float(v) for v in levels for _ in range(PQ_SUBDIM)]
+
+
+def _pq_emb(spark):
+    """Codebook vectors 0..7 are constant [j]*64, so sub-codebook m's
+    centroid j is [j]*16 in every subspace — distances are exactly
+    16*(x-j)^2, hand-computable."""
+    from pdfi_spark.ops.similarity import PQ_CODES
+
+    rows = [(j, _const_subspace_vec([j] * 4)) for j in range(PQ_CODES)]
+    rows.append((8, _const_subspace_vec([0.9, 2.2, 6.6, 7.4])))
+    rows.append((9, _const_subspace_vec([2.5, 2.5, 2.5, 2.5])))  # exact tie 2/3
+    return _emb_df(spark, rows)
+
+
+def test_pq_codes_nearest_subcentroid_with_tie_to_lower_id(spark):
+    from pdfi_spark.ops.similarity import _pq_codes_from
+
+    out = {r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"])
+           for r in _pq_codes_from(_pq_emb(spark)).collect()}
+    assert out[8] == (1, 2, 7, 7)
+    # 2.5 is exactly equidistant from sub-centroids 2 and 3 (both
+    # 16*0.25, exact in binary): the tie must break to the lower code
+    assert out[9] == (2, 2, 2, 2)
+    for j in range(8):
+        assert out[j] == (j, j, j, j)
+
+
+def test_pq_topk_adc_distances_are_code_table_lookups(spark):
+    from pdfi_spark.ops.similarity import _pq_topk_from
+
+    # query = v0 = zeros, so qtab[m][j] = 16*j^2 and every vector's
+    # est_d2 is the sum of its four code entries
+    got = [(r["vec_id"], r["est_d2"])
+           for r in _pq_topk_from(_pq_emb(spark), query_vec_id=0, k=10).collect()]
+    exp = {j: 4 * 16.0 * j * j for j in range(8)}
+    exp[8] = 16.0 * (1 + 4 + 49 + 49)
+    exp[9] = 4 * 16.0 * 4
+    want = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))
+    assert got == [(v, float(d)) for v, d in want]

@@ -63,6 +63,8 @@ SUBSET = [
     "surprisal_buckets",
     "link_graph_hits",
     "cdx_index",
+    "pq_codes",
+    "pq_topk",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

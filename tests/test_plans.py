@@ -601,3 +601,23 @@ def test_robots_filter_broadcasts_rules_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_codes_broadcast_codebook_two_shuffles(spark):
+    # the PQ_M*PQ_CODES sub-codebook rides a BroadcastExchange; the only
+    # shuffles are the per-(vector,subspace) argmin and the code pivot —
+    # nothing ever shuffles per candidate centroid
+    plan = _plan(ops.pq_codes(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_pq_topk_adc_is_broadcast_lookup_plus_take_ordered(spark):
+    # ADC: query table + sub-codebook are broadcast; candidates never
+    # sort globally (TakeOrderedAndProject) and never cross-join
+    plan = _plan(ops.pq_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 3
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
