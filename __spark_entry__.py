@@ -574,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["cdx_index"] = ops.cdx_index
     out["pq_codes"] = ops.pq_codes
     out["pq_topk"] = ops.pq_topk
+    out["pq_topk_refine"] = ops.pq_topk_refine
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1393,6 +1394,25 @@ def oracle_sql() -> dict[str, str]:
         "FROM codes cd JOIN qtab USING (m, code) GROUP BY cd.vec_id) "
         "SELECT vec_id, est_d2 FROM est "
         f"ORDER BY est_d2 ASC, vec_id ASC LIMIT {PQ_TOPK}"
+    )
+    from pdfi_spark.ops.similarity import PQ_SHORTLIST
+
+    # two-stage: ADC shortlist (est_d2 grid shared with pq_topk), exact
+    # full-vector squared L2 only for the shortlist, snapped to 6
+    ed2 = _PQ_L2SQ.format(a="e.embedding", b="qq.qvec", n=64)
+    out["pq_topk_refine"] = (
+        _pq_cte()
+        + ", q AS (SELECT m, sv AS qv FROM sv WHERE vec_id = 0), "
+        f"qtab AS (SELECT c.m, c.centroid_id AS code, round({qd2}, 9) "
+        "AS qd2 FROM q JOIN cs c USING (m)), "
+        "est AS (SELECT cd.vec_id, round(sum(qd2), 6) AS est_d2 "
+        "FROM codes cd JOIN qtab USING (m, code) GROUP BY cd.vec_id), "
+        "short AS (SELECT vec_id FROM est "
+        f"ORDER BY est_d2 ASC, vec_id ASC LIMIT {PQ_SHORTLIST}), "
+        "qq AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) "
+        f"SELECT e.vec_id, round({ed2}, 6) AS d2 "
+        "FROM embeddings e JOIN short USING (vec_id), qq "
+        f"ORDER BY d2 ASC, e.vec_id ASC LIMIT {PQ_TOPK}"
     )
     from pdfi_spark.ops.multimodal import MAGIC
 

@@ -156,6 +156,9 @@ def main() -> int:
         "surprisal_buckets": ops.surprisal_buckets,
         "link_graph_hits": ops.link_graph_hits,
         "cdx_index": ops.cdx_index,
+        "pq_codes": ops.pq_codes,
+        "pq_topk": ops.pq_topk,
+        "pq_topk_refine": ops.pq_topk_refine,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -558,3 +558,38 @@ def _pq_topk_from(emb: DataFrame, query_vec_id: int = 0,
         .agg(F.round(F.sum("qd2"), 6).alias("est_d2"))
     )
     return est.orderBy("est_d2", "vec_id").limit(k)
+
+
+PQ_SHORTLIST = 50
+
+
+def pq_topk_refine(spark: SparkSession, sf_dir: str,
+                   query_vec_id: int = 0, k: int = PQ_TOPK) -> DataFrame:
+    """Two-stage PQ retrieval, the standard IVF-PQ serving shape: the
+    ADC pass shortlists PQ_SHORTLIST candidates from compressed codes
+    (cheap, quantization-lossy), then ONLY those candidates pay exact
+    full-vector distance — at 10^12 vectors the exact math touches 50
+    rows, not the corpus. The shortlist rides a BroadcastExchange back
+    onto the embedding scan (semi-join, no shuffle of the big side);
+    final ranking is exact squared L2 ascending, ties by vec_id,
+    TakeOrderedAndProject. Exact d2 snaps to 6 (element-order sums
+    match DuckDB's list_sum bit-for-bit; ordering uses the snapped
+    value so the rank grid is shared)."""
+    return _pq_topk_refine_from(_emb(spark, sf_dir), query_vec_id, k)
+
+
+def _pq_topk_refine_from(emb: DataFrame, query_vec_id: int = 0,
+                         k: int = PQ_TOPK) -> DataFrame:
+    shortlist = _pq_topk_from(emb, query_vec_id, PQ_SHORTLIST).select("vec_id")
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    exact = (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_l2sq(F.col("embedding"), F.col("qvec")), 6).alias("d2"),
+        )
+    )
+    return exact.orderBy("d2", "vec_id").limit(k)

@@ -95,3 +95,28 @@ def test_pq_topk_adc_distances_are_code_table_lookups(spark):
     exp[9] = 4 * 16.0 * 4
     want = sorted(exp.items(), key=lambda kv: (kv[1], kv[0]))
     assert got == [(v, float(d)) for v, d in want]
+
+
+def test_pq_topk_refine_reranks_quantization_error_exactly(spark):
+    from pdfi_spark.ops.similarity import _pq_topk_from, _pq_topk_refine_from
+
+    emb = _pq_emb(spark)
+    # ADC ties v2 and v9 at 256 (v9's codes collapse onto sub-centroid
+    # 2); exact re-rank separates them: d2(v9) = 64*2.5^2 = 400
+    adc = [r["vec_id"] for r in _pq_topk_from(emb, 0, 10).collect()]
+    assert adc.index(2) < adc.index(9)  # tie broken by vec_id only
+    got = [(r["vec_id"], r["d2"])
+           for r in _pq_topk_refine_from(emb, 0, 10).collect()]
+    import numpy as np
+
+    # the column is array<float>: levels like 0.9 quantize to float32
+    # before the double subtraction, so expectations go through float32
+    f32 = lambda v: float(np.float32(v))
+    exact = {j: 64.0 * j * j for j in range(8)}
+    exact[8] = round(16 * sum((f32(v)) ** 2
+                              for v in (0.9, 2.2, 6.6, 7.4)), 6)
+    exact[9] = 400.0
+    want = sorted(exact.items(), key=lambda kv: (kv[1], kv[0]))
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (gv, gd), (wv, wd) in zip(got, want):
+        assert abs(gd - wd) < 1e-6, (gv, gd, wd)

@@ -65,6 +65,7 @@ SUBSET = [
     "cdx_index",
     "pq_codes",
     "pq_topk",
+    "pq_topk_refine",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -621,3 +621,15 @@ def test_pq_topk_adc_is_broadcast_lookup_plus_take_ordered(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") == 3
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_pq_topk_refine_exact_pass_is_broadcast_semi_join(spark):
+    # the 50-row ADC shortlist and the 1-row query vector both ride
+    # BroadcastExchanges back onto the embedding scan — the exact-math
+    # pass never shuffles the big side, and the final rank is a
+    # TakeOrderedAndProject
+    plan = _plan(ops.pq_topk_refine(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 5
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
