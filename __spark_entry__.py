@@ -575,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pq_codes"] = ops.pq_codes
     out["pq_topk"] = ops.pq_topk
     out["pq_topk_refine"] = ops.pq_topk_refine
+    out["host_url_hll"] = ops.host_url_hll
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1816,6 +1817,38 @@ def oracle_sql() -> dict[str, str]:
         "canon_url FROM canon) "
         "SELECT host, count(*) AS n_pages, "
         "count(DISTINCT canon_url) AS n_canon_urls FROM h GROUP BY host"
+    )
+    from pdfi_spark.ops.webtext import HLL_ALPHA, HLL_M
+
+    # deterministic HyperLogLog twin: same md5-derived registers, the
+    # same exact dyadic Z, the same snapped linear-counting branch.
+    # float literals are DECIMAL in DuckDB — ::DOUBLE everywhere; the
+    # alpha*m^2 constant REGENERATES from HLL_ALPHA so both engines
+    # embed the identical Python double (never inline the number)
+    out["host_url_hll"] = (
+        _canon_cte + ", hh AS (SELECT "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host, "
+        "canon_url, md5(canon_url) AS hx FROM canon), "
+        "r AS (SELECT host, canon_url, "
+        f"('0x' || substr(hx, 1, 8))::BIGINT % {HLL_M} AS reg, "
+        "CASE WHEN ('0x' || substr(hx, 9, 8))::BIGINT = 0 THEN 33 "
+        "ELSE 33 - length(bin(('0x' || substr(hx, 9, 8))::BIGINT)) END "
+        "AS rho FROM hh), "
+        "pr AS (SELECT host, reg, max(rho) AS m_reg FROM r "
+        "GROUP BY host, reg), "
+        "sk AS (SELECT host, count(*) AS n_regs, "
+        "sum(power(2.0::DOUBLE, -m_reg)) AS z_present FROM pr "
+        "GROUP BY host), "
+        "ex AS (SELECT host, count(DISTINCT canon_url) AS n_exact "
+        "FROM r GROUP BY host), "
+        f"ee AS (SELECT host, ({HLL_M} - n_regs)::DOUBLE AS v, "
+        f"{HLL_ALPHA * HLL_M * HLL_M!r} / "
+        f"(z_present + ({HLL_M} - n_regs)::DOUBLE) AS raw FROM sk) "
+        "SELECT ee.host, ex.n_exact, "
+        f"round(CASE WHEN raw <= {2.5 * HLL_M!r} AND v > 0 "
+        f"THEN {float(HLL_M)!r} * round(ln({float(HLL_M)!r} / v), 9) "
+        "ELSE raw END, 6) "
+        "AS hll_est FROM ee JOIN ex USING (host)"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

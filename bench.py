@@ -159,6 +159,7 @@ def main() -> int:
         "pq_codes": ops.pq_codes,
         "pq_topk": ops.pq_topk,
         "pq_topk_refine": ops.pq_topk_refine,
+        "host_url_hll": ops.host_url_hll,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -31,7 +31,7 @@ from .similarity import (
 )
 from .webtext import (anchor_text_index, cdx_index, corpus_build_counts,
                       crawl_diff, incremental_content_dedup,
-                      frontier_schedule, html_block_stats,
+                      frontier_schedule, host_url_hll, html_block_stats,
                       html_content_spans,
                       html_main_content, html_outlinks,
                       paragraph_dedup,
@@ -88,6 +88,6 @@ __all__ = [
     "link_graph_degrees",
     "link_graph_hits", "link_graph_pagerank",
     "link_graph_pagerank_dangling",
-    "host_stats", "read_warc_pages", "robots_filter", "url_canonicalize", "url_dedup_counts",
+    "host_stats", "host_url_hll", "read_warc_pages", "robots_filter", "url_canonicalize", "url_dedup_counts",
     "warc_extract", "wet_export", "cdx_index",
 ]

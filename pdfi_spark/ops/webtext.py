@@ -540,6 +540,61 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HyperLogLog (Flajolet et al. 2007) with m=64 md5-derived registers —
+# the answer to host_stats' "approx_count_distinct at 10^12 rows" note,
+# but cross-engine DETERMINISTIC: register index and rank come from the
+# same md5 both engines already share, so the DuckDB twin reproduces
+# the estimate bit-for-bit (Spark's own approx_count_distinct sketch
+# could only ever get a rows-only check).
+HLL_M = 64
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # alpha_m, m >= 64 (paper §4)
+
+
+def host_url_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host approximate distinct-URL cardinality: md5(canon_url)
+    bits 1-8 pick the register (mod m), bits 9-16 give the rank
+    (leading-zero count + 1 over a 32-bit lane, via length(bin(h)) —
+    identical in both engines incl. the h=0 edge); registers fold with
+    max under groupBy. Exactness argument for the estimate: every
+    2^-M term and every partial sum is an exact dyadic double (span
+    < 53 bits), so shuffle order cannot perturb Z; the linear-counting
+    branch snaps its ln to 9 before the exact *m scaling. n_exact rides
+    along for the error column the tuning loop reads. At 10^12 rows the
+    shuffle carries max(m)-per-(host,register) partials — 64 rows per
+    host — instead of every distinct URL."""
+    canon = url_canonicalize(spark, sf_dir)
+    host = F.regexp_extract(F.col("canon_url"), "^[a-z]+://([^/:?#]+)", 1)
+    hx = F.md5(F.col("canon_url"))
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    rho = F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(h2))
+    )
+    regs = canon.select(
+        host.alias("host"), "canon_url",
+        (h1 % HLL_M).alias("reg"), rho.alias("rho"),
+    )
+    per_reg = regs.groupBy("host", "reg").agg(F.max("rho").alias("m_reg"))
+    sketch = per_reg.groupBy("host").agg(
+        F.count("*").alias("n_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_reg"))).alias("z_present"),
+    )
+    exact = regs.groupBy("host").agg(
+        F.countDistinct("canon_url").alias("n_exact")
+    )
+    v = (F.lit(HLL_M) - F.col("n_regs")).cast("double")
+    z = F.col("z_present") + v
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / z
+    est = F.when(
+        (raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M))
+        * F.round(F.log(F.lit(float(HLL_M)) / v), 9),
+    ).otherwise(raw)
+    return sketch.join(exact, "host").select(
+        "host", "n_exact", F.round(est, 6).alias("hll_est")
+    )
+
+
 def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-degree census over the extracted link graph: one hash-aggregate
     shuffle on dst (map-side partials first). The classic first pass of

@@ -159,3 +159,50 @@ def test_paragraph_dedup_counts_planted_repeats(spark):
     # genuinely repeat across documents (the signal this op exists for)
     assert res.filter(F.col("n_docs") > 1).count() > 0
     assert res.filter(F.col("first_doc").isNull()).count() == 0
+
+
+def test_host_url_hll_matches_pure_python_replica(spark):
+    """Third-engine check: recompute the m=64 HLL from the same canon
+    URLs in pure Python (hashlib md5, integer bit ops — no Spark or
+    DuckDB expressions) and demand the exact 6-decimal estimate."""
+    import hashlib
+    import math
+
+    from pdfi_spark.ops.webtext import HLL_ALPHA, HLL_M
+
+    canon = {
+        (r["host"], r["canon_url"])
+        for r in ops.url_canonicalize(spark, SF)
+        .select(
+            F.regexp_extract("canon_url", "^[a-z]+://([^/:?#]+)", 1)
+            .alias("host"),
+            "canon_url",
+        )
+        .collect()
+    }
+    regs: dict[str, dict[int, int]] = {}
+    exact: dict[str, set] = {}
+    for host, url in canon:
+        hx = hashlib.md5(url.encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        rho = 33 if h2 == 0 else 33 - h2.bit_length()
+        r = regs.setdefault(host, {})
+        r[h1 % HLL_M] = max(r.get(h1 % HLL_M, 0), rho)
+        exact.setdefault(host, set()).add(url)
+    want = {}
+    for host, r in regs.items():
+        v = float(HLL_M - len(r))
+        z = sum(2.0 ** -m for m in r.values()) + v
+        raw = (HLL_ALPHA * HLL_M * HLL_M) / z
+        if raw <= 2.5 * HLL_M and v > 0:
+            est = HLL_M * round(math.log(HLL_M / v), 9)
+        else:
+            est = raw
+        want[host] = (len(exact[host]), round(est, 6))
+    got = {r["host"]: (r["n_exact"], r["hll_est"])
+           for r in ops.host_url_hll(spark, SF).collect()}
+    assert got == want
+    # the estimate is a real estimate of the real cardinality: within
+    # the ~1.04/sqrt(64) error band (x3 for slack) for every host
+    for host, (n, est) in got.items():
+        assert abs(est - n) / n < 3 * 1.04 / (HLL_M ** 0.5), (host, n, est)

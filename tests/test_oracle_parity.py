@@ -66,6 +66,7 @@ SUBSET = [
     "pq_codes",
     "pq_topk",
     "pq_topk_refine",
+    "host_url_hll",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -633,3 +633,13 @@ def test_pq_topk_refine_exact_pass_is_broadcast_semi_join(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") == 5
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_host_url_hll_shuffles_registers_not_urls(spark):
+    # after the first (host, reg) aggregate the sketch side carries at
+    # most 64 rows per host; everything stays keyed on host (no
+    # cartesian, no sort-merge at this size), the tiny sketch-vs-exact
+    # join broadcasts
+    plan = _plan(ops.host_url_hll(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
