@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pq_topk"] = ops.pq_topk
     out["pq_topk_refine"] = ops.pq_topk_refine
     out["host_url_hll"] = ops.host_url_hll
+    out["cms_heavy_hitters"] = ops.cms_heavy_hitters
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1849,6 +1850,27 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {float(HLL_M)!r} * round(ln({float(HLL_M)!r} / v), 9) "
         "ELSE raw END, 6) "
         "AS hll_est FROM ee JOIN ex USING (host)"
+    )
+    from pdfi_spark.ops.textstats import CMS_D, CMS_TOPK, CMS_W
+
+    # CMS twin: identical md5 cells, all-integer — no rounding anywhere.
+    # sum(BIGINT) is HUGEINT in DuckDB -> ::BIGINT (the pandas-float trap)
+    out["cms_heavy_hitters"] = (
+        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tc AS (SELECT term, count(*) AS n FROM w GROUP BY term), "
+        f"rws AS (SELECT unnest(range(0, {CMS_D})) AS r), "
+        "buck AS (SELECT r, term, n, "
+        "('0x' || substr(md5(r::VARCHAR || ':' || term), 1, 8))::BIGINT "
+        f"% {CMS_W} AS bucket FROM tc CROSS JOIN rws), "
+        "cnt AS (SELECT r, bucket, sum(n)::BIGINT AS c FROM buck "
+        "GROUP BY r, bucket), "
+        "top AS (SELECT term, n FROM tc "
+        f"ORDER BY n DESC, term ASC LIMIT {CMS_TOPK}) "
+        "SELECT t.term, t.n AS n_true, min(c.c) AS cms_est "
+        "FROM top t JOIN buck b USING (term) "
+        "JOIN cnt c ON c.r = b.r AND c.bucket = b.bucket "
+        "GROUP BY t.term, t.n"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

@@ -43,6 +43,7 @@ from .webtext import (anchor_text_index, cdx_index, corpus_build_counts,
                       url_canonicalize, url_dedup_counts, warc_extract,
                       wet_export)
 from .textstats import (
+    cms_heavy_hitters,
     corpus_stats,
     decontaminate,
     length_percentiles,
@@ -80,7 +81,7 @@ __all__ = [
     "semdedup",
     "lsh_ann_buckets", "embedding_neardup_topk", "ivf_cell_counts", "ivf_topk", "ivf_train_cells", "ivf_topk_nprobe", "kmeans_codebook",
     "pq_codes", "pq_topk", "pq_topk_refine",
-    "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts",
+    "lang_stopword_counts", "lang_id_ngram", "quality_scores", "token_counts", "cms_heavy_hitters",
     "doc_fingerprint", "decontaminate", "corpus_stats", "length_percentiles", "quality_filter", "repetition_scores", "stratified_sample", "lang_balance_sample", "tfidf_top_terms", "unigram_surprisal", "media_metadata", "media_features",
     "media_feature_summary", "media_resize", "nation_revenue_topk", "top_events_per_user", "asof_join_events", "range_join_counts", "json_props_stats",
     "html_main_content", "html_block_stats", "strip_boilerplate",

@@ -684,3 +684,55 @@ def surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(th), "lang").select(
         "doc_id", "lang", "mean_surprisal", bucket.alias("bucket")
     )
+
+
+# Count-Min Sketch (Cormode & Muthukrishnan 2005) — the frequency twin
+# of host_url_hll's cardinality sketch: term counts compress into
+# CMS_D x CMS_W integer counters whose cells come from the shared md5,
+# so the DuckDB twin rebuilds the identical sketch. All-integer math —
+# no rounding grid needed anywhere.
+CMS_D = 4     # hash rows
+CMS_W = 256   # counters per row
+CMS_TOPK = 20
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with CMS error columns: the top-CMS_TOPK terms by
+    true corpus frequency (ties by term), each with its sketch estimate
+    min over CMS_D rows of counter[r][md5(r:term) % CMS_W]. CMS
+    guarantees est >= true; collisions only ever inflate. At 10^12
+    tokens the sketch build is the scale path — the (r, bucket) keyed
+    aggregate map-side-combines into <= CMS_D*CMS_W cells per task, so
+    the shuffle carries ~1k rows per task regardless of vocabulary; the
+    exact side rides along as the verification/error column (same
+    honest framing as host_url_hll's n_exact). The per-term fold is
+    checkpointed once — three subtrees (counters, top-k, probe) would
+    otherwise re-run it."""
+    tc = (
+        _docs(spark, sf_dir)
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    rows = spark.range(CMS_D).select(F.col("id").cast("int").alias("r"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("term"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % CMS_W
+    )
+    buck = tc.crossJoin(F.broadcast(rows)).select(
+        "r", "term", "n", bucket.alias("bucket")
+    )
+    cnt = buck.groupBy("r", "bucket").agg(F.sum("n").alias("c"))
+    top = tc.orderBy(F.desc("n"), F.asc("term")).limit(CMS_TOPK)
+    probe = F.broadcast(top).join(buck.select("r", "term", "bucket"), "term")
+    return (
+        probe.join(F.broadcast(cnt), ["r", "bucket"])
+        .groupBy("term", "n")
+        .agg(F.min("c").alias("cms_est"))
+        .select("term", F.col("n").alias("n_true"), "cms_est")
+    )

@@ -206,3 +206,38 @@ def test_host_url_hll_matches_pure_python_replica(spark):
     # the ~1.04/sqrt(64) error band (x3 for slack) for every host
     for host, (n, est) in got.items():
         assert abs(est - n) / n < 3 * 1.04 / (HLL_M ** 0.5), (host, n, est)
+
+
+def test_cms_heavy_hitters_matches_pure_python_replica(spark):
+    """Third-engine check for the Count-Min sketch: rebuild the
+    CMS_D x CMS_W counters in pure Python from the raw parquet text and
+    demand identical estimates; also pin the CMS one-sided guarantee
+    (estimate never undercounts)."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdfi_spark.ops.textstats import CMS_D, CMS_TOPK, CMS_W
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    tc = Counter(t for s in texts["text"] for t in s.split(" "))
+    counters = [[0] * CMS_W for _ in range(CMS_D)]
+    for term, n in tc.items():
+        for r in range(CMS_D):
+            hx = hashlib.md5(f"{r}:{term}".encode()).hexdigest()
+            counters[r][int(hx[:8], 16) % CMS_W] += n
+    top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    want = {}
+    for term, n in top:
+        est = min(
+            counters[r][int(hashlib.md5(f"{r}:{term}".encode())
+                            .hexdigest()[:8], 16) % CMS_W]
+            for r in range(CMS_D)
+        )
+        want[term] = (n, est)
+    got = {r["term"]: (r["n_true"], r["cms_est"])
+           for r in ops.cms_heavy_hitters(spark, SF).collect()}
+    assert got == want
+    for term, (n, est) in got.items():
+        assert est >= n, (term, n, est)

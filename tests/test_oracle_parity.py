@@ -67,6 +67,7 @@ SUBSET = [
     "pq_topk",
     "pq_topk_refine",
     "host_url_hll",
+    "cms_heavy_hitters",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -643,3 +643,14 @@ def test_host_url_hll_shuffles_registers_not_urls(spark):
     plan = _plan(ops.host_url_hll(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 4
+
+
+def test_cms_heavy_hitters_broadcast_probe_no_smj(spark):
+    # the sketch (<= CMS_D*CMS_W rows), the hash-row dimension, and the
+    # top-k probe all ride BroadcastExchanges; the term fold is
+    # checkpointed so no subtree recomputes; top-k never global-sorts
+    plan = _plan(ops.cms_heavy_hitters(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 4
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
