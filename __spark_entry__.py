@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pq_topk_refine"] = ops.pq_topk_refine
     out["host_url_hll"] = ops.host_url_hll
     out["cms_heavy_hitters"] = ops.cms_heavy_hitters
+    out["bloom_dedup_gate"] = ops.bloom_dedup_gate
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1871,6 +1872,34 @@ def oracle_sql() -> dict[str, str]:
         "FROM top t JOIN buck b USING (term) "
         "JOIN cnt c ON c.r = b.r AND c.bucket = b.bucket "
         "GROUP BY t.term, t.n"
+    )
+    from pdfi_spark.ops.webtext import BLOOM_K, BLOOM_M
+
+    # Bloom gate twin: identical md5 bit positions over the same
+    # closed-form snapshot split as incremental_content_dedup; probe =
+    # LEFT JOIN per (doc, hash j) against the set-bit table, bool_and
+    out["bloom_dedup_gate"] = (
+        "WITH n AS (SELECT count(*) AS n FROM documents), "
+        "old AS (SELECT DISTINCT md5(text) AS digest FROM documents, n "
+        "WHERE doc_id < (n.n * 0.8)::BIGINT), "
+        f"ks AS (SELECT unnest(range(0, {BLOOM_K})) AS j), "
+        "bits AS (SELECT DISTINCT "
+        "('0x' || substr(md5(j::VARCHAR || ':' || digest), 1, 8))::BIGINT "
+        f"% {BLOOM_M} AS pos FROM old CROSS JOIN ks), "
+        "new AS (SELECT doc_id, "
+        "md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated' "
+        "ELSE text END) AS digest FROM documents, n "
+        "WHERE doc_id >= (n.n * 0.2)::BIGINT), "
+        "probe AS (SELECT doc_id, "
+        "('0x' || substr(md5(j::VARCHAR || ':' || digest), 1, 8))::BIGINT "
+        f"% {BLOOM_M} AS pos FROM new CROSS JOIN ks), "
+        "hit AS (SELECT doc_id, bool_and(b.pos IS NOT NULL) "
+        "AS bloom_maybe_dup FROM probe p LEFT JOIN bits b USING (pos) "
+        "GROUP BY doc_id) "
+        "SELECT h.doc_id, h.bloom_maybe_dup, "
+        "o.digest IS NOT NULL AS exact_dup "
+        "FROM hit h JOIN new USING (doc_id) "
+        "LEFT JOIN old o ON new.digest = o.digest"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

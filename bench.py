@@ -161,6 +161,7 @@ def main() -> int:
         "pq_topk_refine": ops.pq_topk_refine,
         "host_url_hll": ops.host_url_hll,
         "cms_heavy_hitters": ops.cms_heavy_hitters,
+        "bloom_dedup_gate": ops.bloom_dedup_gate,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

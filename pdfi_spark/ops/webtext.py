@@ -522,6 +522,102 @@ def incremental_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom filter (Bloom 1970) — the MEMBERSHIP sketch completing the trio
+# beside host_url_hll (cardinality) and cms_heavy_hitters (frequency):
+# the prior crawl's digest index compresses into BLOOM_M bit positions
+# set by BLOOM_K md5-derived hashes, so the increment gate probes a
+# broadcast bitmap instead of joining the full index. Cells come from
+# the shared md5 (position j = md5(j:digest) bits 1-8 mod m), so the
+# DuckDB twin and a pure-Python replica rebuild the identical filter.
+BLOOM_M = 1024  # bit positions (production: ~1.44*k*n_prior bits)
+BLOOM_K = 4     # hash functions
+
+
+def bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot novelty gate as a Bloom-filter probe — the sketch
+    answer to incremental_content_dedup's "digest index beyond broadcast
+    at 10^12 docs" note: per new-snapshot doc, (doc_id, bloom_maybe_dup,
+    exact_dup). Bloom guarantees NO false negatives — every exact dup
+    probes positive; misses are definitely novel and skip extraction —
+    so bloom_maybe_dup AND NOT exact_dup counts the false positives the
+    m/k sizing loop reads (same honest framing as the HLL/CMS error
+    columns). Snapshots derive from the crawl_diff closed-form split
+    (old = first 80% of doc_ids, new = last 80%, every 5th text
+    amended). Scale shape: the filter build map-side-combines to
+    <= BLOOM_M distinct positions per task before one tiny exchange, a
+    single <= BLOOM_M-element array broadcasts back, and the probe is
+    an in-row forall over BLOOM_K hashes — the new snapshot never
+    shuffles for the gate (the exact join rides along here only as the
+    verification column). The prior-digest subtree feeds both the
+    filter and the exact side, so it's checkpointed once."""
+    docs = _base(spark, sf_dir)
+    n = docs.count()  # parquet metadata count-star
+    lo, hi = int(n * 0.2), int(n * 0.8)
+    old_digests = (
+        docs.filter(F.col("doc_id") < hi)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(BLOOM_K).select(F.col("id").cast("int").alias("j"))
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j"), F.col("digest"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % BLOOM_M
+    )
+    # collect_set's partial aggregate IS the map-side combine: each task
+    # emits <= BLOOM_M positions, so the SinglePartition exchange below
+    # carries <= BLOOM_M longs per task regardless of prior-corpus size
+    bits = (
+        old_digests.crossJoin(F.broadcast(ks))
+        .select(pos.alias("pos"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+    )
+    new = docs.filter(F.col("doc_id") >= lo).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" updated")))
+            .otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    positions = F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda j: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", j, F.col("digest"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long") % BLOOM_M
+        ),
+    )
+    probed = (
+        new.withColumn("positions", positions)
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "doc_id", "digest",
+            F.forall(
+                "positions",
+                lambda p: F.array_contains(F.col("bits"), p),
+            ).alias("bloom_maybe_dup"),
+        )
+    )
+    return (
+        probed.join(
+            old_digests.withColumn("seen", F.lit(True)), "digest", "left"
+        )
+        .select(
+            "doc_id", "bloom_maybe_dup",
+            F.col("seen").isNotNull().alias("exact_dup"),
+        )
+    )
+
+
 def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl census over canonicalized URLs: (host, n_pages,
     n_canon_urls) — the politeness/coverage report every crawl keeps

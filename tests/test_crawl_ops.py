@@ -241,3 +241,45 @@ def test_cms_heavy_hitters_matches_pure_python_replica(spark):
     assert got == want
     for term, (n, est) in got.items():
         assert est >= n, (term, n, est)
+
+
+def test_bloom_dedup_gate_matches_pure_python_replica(spark):
+    """Third-engine check for the Bloom gate: rebuild the m-bit filter
+    in pure Python from the raw parquet and demand identical verdicts;
+    also pin the no-false-negative guarantee (every exact dup probes
+    positive) and that the corpus actually exercises false positives."""
+    import hashlib
+
+    import pandas as pd
+
+    from pdfi_spark.ops.webtext import BLOOM_K, BLOOM_M
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = len(docs)
+    lo, hi = int(n * 0.2), int(n * 0.8)
+
+    def pos(j, digest):
+        hx = hashlib.md5(f"{j}:{digest}".encode()).hexdigest()
+        return int(hx[:8], 16) % BLOOM_M
+
+    old = {hashlib.md5(t.encode()).hexdigest()
+           for t in docs[docs.doc_id < hi]["text"]}
+    bits = {pos(j, d) for d in old for j in range(BLOOM_K)}
+    want = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        if doc_id < lo:
+            continue
+        if doc_id % 5 == 0:
+            text = text + " updated"
+        digest = hashlib.md5(text.encode()).hexdigest()
+        want[doc_id] = (
+            all(pos(j, digest) in bits for j in range(BLOOM_K)),
+            digest in old,
+        )
+    got = {r["doc_id"]: (r["bloom_maybe_dup"], r["exact_dup"])
+           for r in ops.bloom_dedup_gate(spark, SF).collect()}
+    assert got == want
+    assert all(maybe for maybe, exact in got.values() if exact)  # no FN
+    assert any(maybe and not exact for maybe, exact in got.values())

@@ -68,6 +68,7 @@ SUBSET = [
     "pq_topk_refine",
     "host_url_hll",
     "cms_heavy_hitters",
+    "bloom_dedup_gate",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

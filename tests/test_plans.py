@@ -654,3 +654,16 @@ def test_cms_heavy_hitters_broadcast_probe_no_smj(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") == 4
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 2
+
+
+def test_bloom_dedup_gate_probe_never_shuffles(spark):
+    # the <= BLOOM_M set-bit array, the 4-row hash dimension, and the
+    # exact-verification index all ride BroadcastExchanges; the only
+    # non-broadcast exchange is the SinglePartition bit collection
+    # (<= BLOOM_M longs per task after collect_set's partial combine) —
+    # the new-snapshot side stays narrow end-to-end
+    plan = _plan(ops.bloom_dedup_gate(spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 3
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual" in plan
