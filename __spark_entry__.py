@@ -578,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["host_url_hll"] = ops.host_url_hll
     out["cms_heavy_hitters"] = ops.cms_heavy_hitters
     out["bloom_dedup_gate"] = ops.bloom_dedup_gate
+    out["host_cap_sample"] = ops.host_cap_sample
+    out["pmi_collocations"] = ops.pmi_collocations
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1900,6 +1902,45 @@ def oracle_sql() -> dict[str, str]:
         "o.digest IS NOT NULL AS exact_dup "
         "FROM hit h JOIN new USING (doc_id) "
         "LEFT JOIN old o ON new.digest = o.digest"
+    )
+    from pdfi_spark.ops.webtext import HOST_CAP
+
+    # per-host cap twin: identical hash order (md5 of the decimal
+    # doc_id string), row_number ::BIGINT (Spark casts its int to long)
+    out["host_cap_sample"] = (
+        _canon_cte + ", h AS (SELECT doc_id, "
+        "regexp_extract(canon_url, '^[a-z]+://([^/:?#]+)', 1) AS host "
+        "FROM canon), "
+        "r AS (SELECT doc_id, host, row_number() OVER "
+        "(PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id)"
+        "::BIGINT AS host_rank FROM h) "
+        "SELECT doc_id, host, host_rank, "
+        f"host_rank <= {HOST_CAP} AS kept FROM r"
+    )
+    from pdfi_spark.ops.textstats import PMI_MIN_COUNT, PMI_TOPK
+
+    # PMI twin: totals as count(*)::DOUBLE scalars (the Spark side
+    # embeds the same exact-integer values as Python floats); the
+    # probability ratio is written in the IDENTICAL operation order so
+    # every intermediate double matches bit-for-bit before the one
+    # snapped ln
+    out["pmi_collocations"] = (
+        "WITH s AS (SELECT string_split(text, ' ') AS ws "
+        "FROM documents), "
+        "idx AS (SELECT unnest(range(2, len(ws) + 1)) AS i, ws FROM s), "
+        "big AS (SELECT ws[i - 1] AS w1, ws[i] AS w2 FROM idx), "
+        "uw AS (SELECT unnest(ws) AS w FROM s), "
+        "nu AS (SELECT count(*)::DOUBLE AS n FROM uw), "
+        "nb AS (SELECT count(*)::DOUBLE AS n FROM big), "
+        "c12 AS (SELECT w1, w2, count(*) AS c12 FROM big "
+        f"GROUP BY w1, w2 HAVING count(*) >= {PMI_MIN_COUNT}), "
+        "uni AS (SELECT w, count(*) AS c FROM uw GROUP BY w) "
+        "SELECT c12.w1, c12.w2, c12.c12, "
+        "round(ln((c12.c12 / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))), "
+        "9) AS pmi "
+        "FROM c12 JOIN uni u1 ON u1.w = c12.w1 "
+        "JOIN uni u2 ON u2.w = c12.w2, nu, nb "
+        f"ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOPK}"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

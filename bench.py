@@ -162,6 +162,8 @@ def main() -> int:
         "host_url_hll": ops.host_url_hll,
         "cms_heavy_hitters": ops.cms_heavy_hitters,
         "bloom_dedup_gate": ops.bloom_dedup_gate,
+        "host_cap_sample": ops.host_cap_sample,
+        "pmi_collocations": ops.pmi_collocations,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -439,6 +439,77 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str,
     )
 
 
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str,
+                     broadcast_vocab: bool = True) -> DataFrame:
+    """Top-PMI_TOPK bigram collocations by pointwise mutual information
+    — the phrase-mining pass a tokenizer/vocabulary build runs to find
+    multi-word units worth merging (Church & Hanks 1990): pmi =
+    ln( p(w1,w2) / (p(w1) p(w2)) ), keeping pairs seen at least
+    PMI_MIN_COUNT times (PMI of rare pairs is noise). Returns
+    (w1, w2, c12, pmi) ordered by (pmi desc, w1, w2).
+
+    Scale shape: bigrams are built narrowly in-row (the
+    bigram_surprisal zip_with — no exchange before the aggregates);
+    c(w1,w2) and the unigram model are keyed aggregates with map-side
+    partials; the unigram dimension joins back twice (w1/w2 side),
+    broadcast or shuffled per ``broadcast_vocab`` (see _vocab_dim for
+    the size bound) — it is checkpointed once because Catalyst will not
+    share the aggregate subtree across the two join sides. Top-k is
+    orderBy+limit = TakeOrderedAndProject, never a global sort.
+
+    Determinism: counts and totals are exact integers; the probability
+    ratio is evaluated in the SAME operation order in both engines
+    (each division/multiply correctly rounded -> bit-identical
+    doubles), and the single ln is snapped to 9 decimals (~1ulp engine
+    drift cannot reach the grid)."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split("text", " ")
+    n_uni = docs.select(F.explode(ws).alias("w")).count()
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs.select(F.explode(pairs).alias("bg")).select(
+        "bg.w1", "bg.w2"
+    )
+    n_bi = big.count()
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    uni = (
+        docs.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.lit(float(n_bi)))
+            / (
+                (F.col("c1") / F.lit(float(n_uni)))
+                * (F.col("c2") / F.lit(float(n_uni)))
+            )
+        ),
+        9,
+    )
+    d1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    d2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        c12.join(_vocab_dim(d1, broadcast_vocab), "w1")
+        .join(_vocab_dim(d2, broadcast_vocab), "w2")
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOPK)
+    )
+
+
 SHARD_TOKEN_BUDGET = 1000
 SHARD_CHUNKS = 8
 

@@ -636,6 +636,41 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOST_CAP = 20
+
+
+def host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host diversity cap — the curation step that stops a handful
+    of giant hosts from dominating a training mix: keep at most
+    HOST_CAP pages per host, picked by a deterministic HASH order
+    (md5 of the decimal doc_id — the training_shuffle_manifest recipe)
+    so the cap samples uniformly instead of favoring low doc_ids.
+    Returns (doc_id, host, host_rank, kept) for every page — the
+    survivor set is `kept`, and host_rank doubles as the within-host
+    sample order for stratified downstream draws.
+
+    Scale shape: ONE window partitioned by host (hash exchange on
+    host, per-host sort of that host's rows only — never a global
+    sort/funnel). Host skew is the known hazard (a 10^9-page host sorts
+    on one task): the production note is the same two-phase trick as
+    pack_training_shards — pre-filter with an approximate per-host
+    count and only window hosts near the cap — documented, not
+    silently swapped, since the one-window form is the semantics."""
+    canon = url_canonicalize(spark, sf_dir)
+    host = F.regexp_extract(F.col("canon_url"), "^[a-z]+://([^/:?#]+)", 1)
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        canon.select("doc_id", host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .select(
+            "doc_id", "host", "host_rank",
+            (F.col("host_rank") <= HOST_CAP).alias("kept"),
+        )
+    )
+
+
 # HyperLogLog (Flajolet et al. 2007) with m=64 md5-derived registers —
 # the answer to host_stats' "approx_count_distinct at 10^12 rows" note,
 # but cross-engine DETERMINISTIC: register index and rank come from the

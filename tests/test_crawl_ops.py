@@ -283,3 +283,64 @@ def test_bloom_dedup_gate_matches_pure_python_replica(spark):
     assert got == want
     assert all(maybe for maybe, exact in got.values() if exact)  # no FN
     assert any(maybe and not exact for maybe, exact in got.values())
+
+
+def test_host_cap_sample_cap_and_hash_order(spark):
+    """Per host: ranks are exactly 1..n_pages, kept == (rank <= cap),
+    and the within-host order is the md5-of-decimal-doc_id order
+    (replicated in pure Python for every host)."""
+    import hashlib
+
+    from pdfi_spark.ops.webtext import HOST_CAP
+
+    rows = ops.host_cap_sample(spark, SF).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r.host_rank)
+        assert [r.host_rank for r in hr] == list(range(1, len(hr) + 1))
+        for r in hr:
+            assert r.kept == (r.host_rank <= HOST_CAP)
+        want = sorted(
+            (r.doc_id for r in hr),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        assert [r.doc_id for r in hr] == want, host
+    # the corpus actually exercises the cap (some host over HOST_CAP)
+    assert any(len(hr) > HOST_CAP for hr in by_host.values())
+
+
+def test_pmi_collocations_matches_pure_python_replica(spark):
+    """Replica of the PMI formula over the raw parquet: same bigram
+    liner, same min-count gate, same ratio — pmi equal to the snapped
+    grid (1e-9 tolerance for the replica's own ln rounding)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdfi_spark.ops.textstats import PMI_MIN_COUNT, PMI_TOPK
+
+    texts = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    uni, big = Counter(), Counter()
+    for t in texts["text"]:
+        ws = t.split(" ")
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_uni = sum(uni.values())
+    n_bi = sum(big.values())
+    scored = {
+        (w1, w2): round(
+            math.log((c / n_bi) / ((uni[w1] / n_uni) * (uni[w2] / n_uni))),
+            9,
+        )
+        for (w1, w2), c in big.items()
+        if c >= PMI_MIN_COUNT
+    }
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:PMI_TOPK]
+    got = ops.pmi_collocations(spark, SF).collect()
+    assert [(r.w1, r.w2) for r in got] == [k for k, _ in want]
+    for r, (k, pmi) in zip(got, want):
+        assert abs(r.pmi - pmi) <= 1e-9, (k, r.pmi, pmi)
+        assert r.c12 == big[k]

@@ -69,6 +69,8 @@ SUBSET = [
     "host_url_hll",
     "cms_heavy_hitters",
     "bloom_dedup_gate",
+    "host_cap_sample",
+    "pmi_collocations",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

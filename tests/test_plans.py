@@ -667,3 +667,24 @@ def test_bloom_dedup_gate_probe_never_shuffles(spark):
     assert plan.count("BroadcastExchange") == 3
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "PushedFilters: [IsNotNull(doc_id), GreaterThanOrEqual" in plan
+
+
+def test_host_cap_sample_one_host_window_no_funnel(spark):
+    # ONE exchange (hash on host) feeding ONE per-host window — never a
+    # global sort or single-partition funnel
+    plan = _plan(ops.host_cap_sample(spark, SF))
+    assert plan.count("Window") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_collocations_broadcast_dims_topk(spark):
+    # the two unigram dimension sides ride BroadcastExchanges off the
+    # checkpointed vocab aggregate; the only shuffle is the c12
+    # aggregate; top-k is TakeOrderedAndProject, never a global sort
+    plan = _plan(ops.pmi_collocations(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") == 2
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
