@@ -169,6 +169,42 @@ CASES = [
      "TakeOrderedAndProject (per-partition partial top-k, driver merge "
      "of K rows) — never a global single-partition sort",
      None),
+    ("pq_topk_refine",
+     "two-stage PQ serving: the ADC shortlist (PQ_SHORTLIST rows) and "
+     "the 1-row query ride BroadcastExchanges back onto the full-vector "
+     "scan for the exact re-rank — the big side never shuffles; final "
+     "stage TakeOrderedAndProject",
+     None),
+    ("host_url_hll",
+     "deterministic HyperLogLog: register index/rank are narrow md5 "
+     "slices, the first aggregate collapses to <= m rows per host "
+     "BEFORE the shuffle (max-combining partials), so the exchange "
+     "carries registers, never URLs",
+     None),
+    ("cms_heavy_hitters",
+     "Count-Min sketch: the (r,bucket) aggregate map-side-combines to "
+     "<= CMS_D*CMS_W cells per task regardless of vocabulary; sketch, "
+     "hash-row dimension, and top-k probe all ride BroadcastExchanges; "
+     "top-k is TakeOrderedAndProject",
+     None),
+    ("bloom_dedup_gate",
+     "Bloom membership gate: collect_set's partial aggregate IS the "
+     "map-side combine (<= BLOOM_M positions per task into one tiny "
+     "SinglePartition exchange), the filter broadcasts back as ONE "
+     "array row, and the probe is an in-row forall — the new-snapshot "
+     "side never shuffles for the gate",
+     None),
+    ("host_cap_sample",
+     "per-host diversity cap: ONE exchange (hash on host) feeding ONE "
+     "per-host window in deterministic md5 hash order — never a global "
+     "sort/funnel; kept is a narrow comparison on the rank",
+     None),
+    ("pmi_collocations",
+     "PMI phrase mining: bigrams fold in-row (zip_with), c12 is the "
+     "only shuffle, the checkpointed unigram dimension joins back "
+     "twice as BroadcastHashJoins (broadcast_vocab switch for open-web "
+     "vocabulary), top-k is TakeOrderedAndProject",
+     None),
 ]
 
 
@@ -234,6 +270,12 @@ def main() -> int:
             "exact_substring_excise": "exact_substring_excise",
             "bm25_topk": "bm25_topk",
             "surprisal_buckets": "surprisal_buckets",
+            "pq_topk_refine": "pq_topk_refine",
+            "host_url_hll": "host_url_hll",
+            "cms_heavy_hitters": "cms_heavy_hitters",
+            "bloom_dedup_gate": "bloom_dedup_gate",
+            "host_cap_sample": "host_cap_sample",
+            "pmi_collocations": "pmi_collocations",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
