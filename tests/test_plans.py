@@ -427,7 +427,7 @@ def test_vocab_dim_non_broadcast_shape(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for op in (ops.tfidf_top_terms, ops.unigram_surprisal,
-                   ops.bigram_surprisal):
+                   ops.bigram_surprisal, ops.pmi_collocations):
             plan = _plan(op(spark, SF, broadcast_vocab=False))
             assert "BroadcastHashJoin" not in plan, plan
             assert ("SortMergeJoin" in plan
