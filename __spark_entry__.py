@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["bloom_dedup_gate"] = ops.bloom_dedup_gate
     out["host_cap_sample"] = ops.host_cap_sample
     out["pmi_collocations"] = ops.pmi_collocations
+    out["weighted_sample"] = ops.weighted_sample
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1941,6 +1942,19 @@ def oracle_sql() -> dict[str, str]:
         "FROM c12 JOIN uni u1 ON u1.w = c12.w1 "
         "JOIN uni u2 ON u2.w = c12.w2, nu, nb "
         f"ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOPK}"
+    )
+    from pdfi_spark.ops.textstats import WSAMPLE_K
+
+    # Efraimidis-Spirtakis twin: u = (h+1)/2^32 exact dyadic, ln
+    # snapped 9 BEFORE the division by the exact integer weight —
+    # identical correctly-rounded double ops in identical order
+    out["weighted_sample"] = (
+        "WITH k AS (SELECT doc_id, "
+        "len(string_split(text, ' '))::BIGINT AS weight, "
+        "round(-ln((('0x' || substr(md5(doc_id::VARCHAR || ':ws'), 1, 8))"
+        "::BIGINT + 1) / 4294967296), 9) AS lnu FROM documents) "
+        "SELECT doc_id, weight, lnu / weight AS sample_key FROM k "
+        f"ORDER BY sample_key ASC, doc_id ASC LIMIT {WSAMPLE_K}"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

@@ -164,6 +164,7 @@ def main() -> int:
         "bloom_dedup_gate": ops.bloom_dedup_gate,
         "host_cap_sample": ops.host_cap_sample,
         "pmi_collocations": ops.pmi_collocations,
+        "weighted_sample": ops.weighted_sample,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

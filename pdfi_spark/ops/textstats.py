@@ -439,6 +439,46 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str,
     )
 
 
+WSAMPLE_K = 50
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, one pass — Efraimidis &
+    Spirtakis 2006 (the A-ES exponential-key method every distributed
+    importance sampler uses): each doc draws a deterministic uniform
+    u from its md5 and races with key = -ln(u)/w, w = token count; the
+    WSAMPLE_K smallest keys win, which is exactly a weight-proportional
+    draw without replacement. The training-mix use: sample a budget of
+    documents proportional to token mass (or any quality weight)
+    without ever materializing cumulative weights.
+
+    Scale shape: keys are a narrow in-row map; the selection is
+    orderBy+limit = TakeOrderedAndProject — per-partition partial
+    top-K then a driver merge of K rows per partition, never a global
+    sort and never the sequential cumulative-weight scan of the
+    textbook algorithm. Determinism: u = (h+1)/2^32 is an exact dyadic
+    double (h the first 32 md5 bits — u in (0, 1], never ln(0)); the
+    ln is snapped to 9 BEFORE the division by the exact integer weight
+    (correctly-rounded double ops in identical order both engines);
+    ties break by doc_id."""
+    docs = _docs(spark, sf_dir)
+    w = F.size(F.split("text", " ")).cast("long")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("ws"))),
+                    1, 8),
+        16, 10,
+    ).cast("long")
+    u = (h + 1) / F.lit(4294967296.0)
+    key = F.round(-F.log(u), 9) / w
+    return (
+        docs.select(
+            "doc_id", w.alias("weight"), key.alias("sample_key")
+        )
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+
+
 PMI_MIN_COUNT = 5
 PMI_TOPK = 20
 

@@ -344,3 +344,37 @@ def test_pmi_collocations_matches_pure_python_replica(spark):
     for r, (k, pmi) in zip(got, want):
         assert abs(r.pmi - pmi) <= 1e-9, (k, r.pmi, pmi)
         assert r.c12 == big[k]
+
+
+def test_weighted_sample_matches_pure_python_replica(spark):
+    """Replica of the A-ES exponential-key race over the raw parquet:
+    same dyadic uniform, same snapped ln, same top-K — plus the
+    weight-proportionality property (winners average heavier than the
+    corpus, since bigger w shrinks the key)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from pdfi_spark.ops.textstats import WSAMPLE_K
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    )
+    keyed = []
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        w = len(text.split(" "))
+        h = int(hashlib.md5(f"{doc_id}:ws".encode()).hexdigest()[:8], 16)
+        key = round(-math.log((h + 1) / 4294967296.0), 9) / w
+        keyed.append((key, doc_id, w))
+    keyed.sort()
+    want = keyed[:WSAMPLE_K]
+    got = ops.weighted_sample(spark, SF).collect()
+    assert [(r.doc_id, r.weight) for r in got] == [
+        (d, w) for _, d, w in want
+    ]
+    for r, (key, _, _) in zip(got, want):
+        assert abs(r.sample_key - key) <= 1e-9
+    corpus_mean = sum(w for _, _, w in keyed) / len(keyed)
+    winner_mean = sum(r.weight for r in got) / len(got)
+    assert winner_mean > corpus_mean

@@ -71,6 +71,7 @@ SUBSET = [
     "bloom_dedup_gate",
     "host_cap_sample",
     "pmi_collocations",
+    "weighted_sample",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -688,3 +688,12 @@ def test_pmi_collocations_broadcast_dims_topk(spark):
     assert plan.count("BroadcastExchange") == 2
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_weighted_sample_zero_exchange_topk(spark):
+    # the exponential keys are a narrow in-row map; selection is
+    # TakeOrderedAndProject (per-partition partial top-K, driver merge)
+    # — zero Exchange, no global sort
+    plan = _plan(ops.weighted_sample(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan

@@ -205,6 +205,12 @@ CASES = [
      "twice as BroadcastHashJoins (broadcast_vocab switch for open-web "
      "vocabulary), top-k is TakeOrderedAndProject",
      None),
+    ("weighted_sample",
+     "Efraimidis-Spirtakis weighted sampling without replacement: "
+     "exponential keys are a narrow in-row map, selection is "
+     "TakeOrderedAndProject — zero Exchange, never the sequential "
+     "cumulative-weight scan",
+     None),
 ]
 
 
@@ -276,6 +282,7 @@ def main() -> int:
             "bloom_dedup_gate": "bloom_dedup_gate",
             "host_cap_sample": "host_cap_sample",
             "pmi_collocations": "pmi_collocations",
+            "weighted_sample": "weighted_sample",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
