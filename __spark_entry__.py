@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["host_cap_sample"] = ops.host_cap_sample
     out["pmi_collocations"] = ops.pmi_collocations
     out["weighted_sample"] = ops.weighted_sample
+    out["length_histogram_quantiles"] = ops.length_histogram_quantiles
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -1955,6 +1956,31 @@ def oracle_sql() -> dict[str, str]:
         "::BIGINT + 1) / 4294967296), 9) AS lnu FROM documents) "
         "SELECT doc_id, weight, lnu / weight AS sample_key FROM k "
         f"ORDER BY sample_key ASC, doc_id ASC LIMIT {WSAMPLE_K}"
+    )
+    from pdfi_spark.ops.textstats import HIST_BUCKET_WORDS as _HW
+    from pdfi_spark.ops.textstats import HIST_QS
+
+    # histogram-quantile twin: quantile literals ::DOUBLE (DECIMAL*n
+    # would ceil differently than Spark's double path); window sums
+    # ::BIGINT (the HUGEINT pandas-float trap); interpolation written
+    # in the identical integer-then-one-double-division order
+    _qs_list = ", ".join(f"{q!r}::DOUBLE" for q in HIST_QS)
+    out["length_histogram_quantiles"] = (
+        "WITH w AS (SELECT lang, len(string_split(text, ' ')) AS words "
+        "FROM documents), "
+        f"b AS (SELECT lang, words // {_HW} AS bucket, count(*) AS cnt "
+        "FROM w GROUP BY lang, bucket), "
+        "c AS (SELECT lang, bucket, cnt, "
+        "sum(cnt) OVER (PARTITION BY lang ORDER BY bucket)::BIGINT "
+        "AS cum, sum(cnt) OVER (PARTITION BY lang)::BIGINT AS n FROM b), "
+        f"q AS (SELECT unnest([{_qs_list}]) AS q), "
+        "r AS (SELECT lang, q.q, bucket, cnt, cum, "
+        "ceil(q.q * n)::BIGINT AS rank FROM c CROSS JOIN q "
+        "WHERE cum >= ceil(q.q * n)::BIGINT "
+        "QUALIFY row_number() OVER (PARTITION BY lang, q.q "
+        "ORDER BY bucket) = 1) "
+        f"SELECT lang, q, round(bucket * {_HW} + {_HW} * "
+        "(rank - (cum - cnt)) / cnt, 9) AS est_words FROM r"
     )
     # CDX capture index: SURT urlkey = reversed host labels + ')' +
     # path?query slice of the same canonical URL; the deterministic ts

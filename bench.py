@@ -165,6 +165,7 @@ def main() -> int:
         "host_cap_sample": ops.host_cap_sample,
         "pmi_collocations": ops.pmi_collocations,
         "weighted_sample": ops.weighted_sample,
+        "length_histogram_quantiles": ops.length_histogram_quantiles,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

@@ -154,6 +154,67 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BUCKET_WORDS = 8
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantiles from a fixed-grid histogram SKETCH — the
+    deterministic, mergeable answer to length_percentiles' "at 10^12
+    rows production swaps in approx_percentile" note (same role the
+    HLL/CMS/Bloom twins play for their exact ops, but hash-pinnable
+    where a t-digest is not): bucket = words div HIST_BUCKET_WORDS,
+    counts collapse map-side to #langs x #buckets cells per task, and
+    the quantile is read off the cumulative histogram with linear
+    interpolation inside the winning bucket. Returns (lang, q,
+    est_words) for q in HIST_QS; grid resolution (one bucket width) is
+    the documented error bound.
+
+    Scale shape: after the first aggregate every stage touches only
+    bucket-cardinality rows — the per-lang cumulative window sorts a
+    handful of buckets per language (vs the exact percentile, whose
+    aggregation buffers hold every distinct value); the quantile
+    dimension is a 3-row broadcast. Determinism: counts are exact
+    integers; rank = ceil(q*n) computes q*n in DOUBLE in both engines
+    (the oracle casts its quantile literals ::DOUBLE — DECIMAL
+    arithmetic would ceil differently); the interpolation is snapped
+    to 9."""
+    docs = _docs(spark, sf_dir)
+    words = F.size(F.split("text", " "))
+    b = (
+        docs.select("lang", words.alias("words"))
+        .select("lang", F.expr(f"words div {HIST_BUCKET_WORDS}").alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wcum = Window.partitionBy("lang").orderBy("bucket")
+    wall = Window.partitionBy("lang")
+    c = b.select(
+        "lang", "bucket", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    qs = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
+    ranked = (
+        c.crossJoin(F.broadcast(qs))
+        .withColumn("rank", F.ceil(F.col("q") * F.col("n")))
+        .filter(F.col("cum") >= F.col("rank"))
+    )
+    win = ranked.groupBy("lang", "q", "rank").agg(
+        F.min_by(F.struct("bucket", "cnt", "cum"), F.col("bucket")).alias("w")
+    )
+    est = F.round(
+        F.col("w.bucket") * HIST_BUCKET_WORDS
+        + HIST_BUCKET_WORDS
+        * (F.col("rank") - (F.col("w.cum") - F.col("w.cnt")))
+        / F.col("w.cnt"),
+        9,
+    )
+    return win.select("lang", "q", est.alias("est_words"))
+
+
 def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: doc counts, char totals, word totals —
     one hash-aggregate shuffle with map-side partials (the shape of every

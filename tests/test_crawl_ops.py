@@ -378,3 +378,53 @@ def test_weighted_sample_matches_pure_python_replica(spark):
     corpus_mean = sum(w for _, _, w in keyed) / len(keyed)
     winner_mean = sum(r.weight for r in got) / len(got)
     assert winner_mean > corpus_mean
+
+
+def test_length_histogram_quantiles_replica_and_error_bound(spark):
+    """Replica of the histogram-quantile sketch in pure Python (same
+    grid, same double ceil, same interpolation), plus the documented
+    error bound: every estimate within one bucket width of the true
+    (exact, nearest-rank) quantile."""
+    import math
+
+    import pandas as pd
+
+    from pdfi_spark.ops.textstats import HIST_BUCKET_WORDS, HIST_QS
+
+    docs = pd.read_parquet(
+        f"{SF}/documents.parquet", columns=["lang", "text"]
+    )
+    by_lang = {}
+    for lang, text in zip(docs.lang, docs.text):
+        by_lang.setdefault(lang, []).append(len(text.split(" ")))
+    want = {}
+    for lang, ws in by_lang.items():
+        hist = {}
+        for w in ws:
+            hist[w // HIST_BUCKET_WORDS] = hist.get(
+                w // HIST_BUCKET_WORDS, 0) + 1
+        n = len(ws)
+        for q in HIST_QS:
+            rank = math.ceil(q * n)
+            cum = 0
+            for bucket in sorted(hist):
+                cnt = hist[bucket]
+                cum += cnt
+                if cum >= rank:
+                    est = round(
+                        bucket * HIST_BUCKET_WORDS
+                        + HIST_BUCKET_WORDS * (rank - (cum - cnt)) / cnt,
+                        9,
+                    )
+                    want[(lang, q)] = est
+                    break
+    got = {(r.lang, r.q): r.est_words
+           for r in ops.length_histogram_quantiles(spark, SF).collect()}
+    assert set(got) == set(want)
+    for k, est in got.items():
+        assert abs(est - want[k]) <= 1e-9, (k, est, want[k])
+    # grid-resolution error bound vs the exact nearest-rank quantile
+    for (lang, q), est in got.items():
+        ws = sorted(by_lang[lang])
+        exact = ws[math.ceil(q * len(ws)) - 1]
+        assert abs(est - exact) <= HIST_BUCKET_WORDS, (lang, q, est, exact)

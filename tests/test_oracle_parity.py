@@ -72,6 +72,7 @@ SUBSET = [
     "host_cap_sample",
     "pmi_collocations",
     "weighted_sample",
+    "length_histogram_quantiles",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -697,3 +697,15 @@ def test_weighted_sample_zero_exchange_topk(spark):
     plan = _plan(ops.weighted_sample(spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_length_histogram_quantiles_no_funnel(spark):
+    # after the (lang, bucket) aggregate everything is
+    # bucket-cardinality sized: a per-lang window (never a global
+    # sort), a 3-row broadcast quantile dimension, no single-partition
+    # exchange anywhere
+    plan = _plan(ops.length_histogram_quantiles(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3

@@ -211,6 +211,12 @@ CASES = [
      "TakeOrderedAndProject — zero Exchange, never the sequential "
      "cumulative-weight scan",
      None),
+    ("length_histogram_quantiles",
+     "mergeable histogram-quantile sketch: the (lang, bucket) "
+     "aggregate collapses map-side to fixed cells; every later stage "
+     "is bucket-cardinality sized (per-lang window, 3-row broadcast "
+     "quantile dimension) — no single-partition funnel",
+     None),
 ]
 
 
@@ -283,6 +289,7 @@ def main() -> int:
             "host_cap_sample": "host_cap_sample",
             "pmi_collocations": "pmi_collocations",
             "weighted_sample": "weighted_sample",
+            "length_histogram_quantiles": "length_histogram_quantiles",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
