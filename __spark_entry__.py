@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pmi_collocations"] = ops.pmi_collocations
     out["weighted_sample"] = ops.weighted_sample
     out["length_histogram_quantiles"] = ops.length_histogram_quantiles
+    out["q3_shipping_priority"] = ops.q3_shipping_priority
+    out["q5_local_supplier_volume"] = ops.q5_local_supplier_volume
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -946,6 +948,42 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n_name, revenue_cp, n_orders, n_customers "
         "FROM per_nation JOIN nation ON c_nationkey = n_nationkey "
         f"ORDER BY revenue_cp DESC, n_name ASC LIMIT {TOP_K}"
+    )
+    from pdfi_spark.ops.relational import (
+        Q3_CUTOFF, Q3_TOPK, Q5_FROM, Q5_REGION, Q5_TO,
+    )
+
+    _rev_sql = ("round(l_extendedprice * 100)::BIGINT "
+                "* (100 - round(l_discount * 100)::BIGINT)")
+    # TPC-H Q3 shape: both date filters before any join; per-order
+    # revenue aggregated before the joins like the Spark side
+    out["q3_shipping_priority"] = (
+        "WITH per_order AS (SELECT l_orderkey, "
+        f"sum({_rev_sql})::BIGINT AS revenue_cp FROM lineitem "
+        f"WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF}' GROUP BY l_orderkey) "
+        "SELECT l_orderkey AS order_key, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+        "o_orderpriority AS priority, revenue_cp "
+        "FROM per_order JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE o_orderdate < TIMESTAMP '{Q3_CUTOFF}' "
+        f"AND c_mktsegment = '{MKT_SEGMENT}' "
+        f"ORDER BY revenue_cp DESC, order_key ASC LIMIT {Q3_TOPK}"
+    )
+    # TPC-H Q5 shape: same-nation customer and supplier in one region
+    out["q5_local_supplier_volume"] = (
+        "SELECT n_name, "
+        f"sum({_rev_sql})::BIGINT AS revenue_cp "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "AND s_nationkey = c_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        f"WHERE r_name = '{Q5_REGION}' "
+        f"AND o_orderdate >= TIMESTAMP '{Q5_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q5_TO}' "
+        "GROUP BY n_name ORDER BY revenue_cp DESC, n_name ASC"
     )
     from pdfi_spark.ops.relational import (
         ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE, RANGE_WINDOW_SEC,

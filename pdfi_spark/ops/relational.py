@@ -76,6 +76,116 @@ def nation_revenue_topk(spark: SparkSession, sf_dir: str,
     return result.orderBy(F.desc("revenue_cp"), F.asc("n_name")).limit(k)
 
 
+Q3_CUTOFF = "1998-01-01"
+Q3_TOPK = 10
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str,
+                         segment: str = MKT_SEGMENT) -> DataFrame:
+    """TPC-H Q3 (shipping priority) shape over the driver tables: the
+    top unshipped-revenue orders for one market segment — orders placed
+    before the cutoff whose lineitems ship after it. The canonical
+    multi-join + top-k pattern a corpus-metadata warehouse runs daily.
+
+    Plan shape at scale: BOTH date filters and the segment filter push
+    into the parquet scans (PushedFilters); lineitem partially
+    aggregates to per-order revenue BEFORE any join (the orderkey
+    shuffle carries one row per order, not per line item); the customer
+    side reduces to a key list; top-k is TakeOrderedAndProject.
+    Revenue is exact integer cent-percent units, engine-order-free."""
+    cutoff = F.lit(Q3_CUTOFF).cast("timestamp")
+    customer = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    per_order = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", _rev_cents().alias("rev"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("rev").alias("revenue_cp"))
+    )
+    return (
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("priority"),
+            "revenue_cp",
+        )
+        .orderBy(F.desc("revenue_cp"), F.asc("order_key"))
+        .limit(Q3_TOPK)
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1996-01-01", "1999-01-01"
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
+                             region: str = Q5_REGION) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) shape: revenue per nation in one
+    region where the CUSTOMER and the SUPPLIER sit in the same nation —
+    the classic snowflake join with a cross-branch equality.
+
+    Plan shape at scale: the date range pushes into the orders scan;
+    lineitem joins supplier keyed on suppkey and orders joins customer
+    keyed on custkey (two independent branches), then ONE keyed join on
+    orderkey carries the s_nationkey = c_nationkey residual; the
+    nation ⋈ region dimension (25 x 5 rows) is an explicit broadcast.
+    Never a cartesian; revenue exact integer cent-percent."""
+    lo = F.lit(Q5_FROM).cast("timestamp")
+    hi = F.lit(Q5_TO).cast("timestamp")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", _rev_cents().alias("rev")
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    nations = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .join(
+            F.broadcast(
+                spark.read.parquet(f"{sf_dir}/region.parquet")
+                .filter(F.col("r_name") == region)
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sold = lineitem.join(supplier,
+                         lineitem["l_suppkey"] == supplier["s_suppkey"])
+    bought = orders.join(customer,
+                         orders["o_custkey"] == customer["c_custkey"])
+    return (
+        sold.join(
+            bought,
+            (sold["l_orderkey"] == bought["o_orderkey"])
+            & (sold["s_nationkey"] == bought["c_nationkey"]),
+        )
+        .join(F.broadcast(nations),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("rev").alias("revenue_cp"))
+        .orderBy(F.desc("revenue_cp"), F.asc("n_name"))
+    )
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-group top-k via a rank window: the other canonical window
     shape (sessionization being the first). One exchange on user_id;

@@ -73,6 +73,8 @@ SUBSET = [
     "pmi_collocations",
     "weighted_sample",
     "length_histogram_quantiles",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -709,3 +709,28 @@ def test_length_histogram_quantiles_no_funnel(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") == 1
     assert plan.count("Exchange") - plan.count("BroadcastExchange") <= 3
+
+
+def test_q3_shipping_priority_pushdown_partial_agg_topk(spark):
+    # both date filters and the segment filter reach the scans
+    # (PushedFilters); lineitem partially aggregates to per-order
+    # revenue before any join; top-k is TakeOrderedAndProject
+    plan = _plan(ops.q3_shipping_priority(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("PushedFilters: [IsNotNull(l_shipdate), GreaterThan") == 1, plan
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate), LessThan") == 1, plan
+    # the per-order partial aggregate precedes the first join: both
+    # HashAggregate levels appear below the join in the plan tree
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q5_local_supplier_volume_broadcast_dims_no_cartesian(spark):
+    # the nation-region dimension rides a BroadcastExchange; the
+    # cross-branch s_nationkey = c_nationkey lands as an equi-join
+    # condition, never a cartesian + filter
+    plan = _plan(ops.q5_local_supplier_volume(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual") == 1, plan
