@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["pmi_collocations"] = ops.pmi_collocations
     out["weighted_sample"] = ops.weighted_sample
     out["length_histogram_quantiles"] = ops.length_histogram_quantiles
+    out["q1_pricing_summary"] = ops.q1_pricing_summary
     out["q3_shipping_priority"] = ops.q3_shipping_priority
     out["q5_local_supplier_volume"] = ops.q5_local_supplier_volume
     out["frontier_schedule_streaming"] = _frontier_streaming_query
@@ -955,6 +956,31 @@ def oracle_sql() -> dict[str, str]:
 
     _rev_sql = ("round(l_extendedprice * 100)::BIGINT "
                 "* (100 - round(l_discount * 100)::BIGINT)")
+    from pdfi_spark.ops.relational import Q1_SHIP_CUTOFF
+
+    # TPC-H Q1 shape: every SUM exact-integer (HUGEINT ::BIGINT trap),
+    # AVGs = one double division of exact ints, snapped 6
+    out["q1_pricing_summary"] = (
+        "WITH s AS (SELECT l_returnflag, l_linestatus, "
+        "l_quantity::BIGINT AS qty, "
+        "round(l_extendedprice * 100)::BIGINT AS price_c, "
+        "round(l_discount * 100)::BIGINT AS d, "
+        "round(l_tax * 100)::BIGINT AS t FROM lineitem "
+        f"WHERE l_shipdate <= TIMESTAMP '{Q1_SHIP_CUTOFF}'), "
+        "a AS (SELECT l_returnflag, l_linestatus, "
+        "sum(qty)::BIGINT AS sum_qty, "
+        "sum(price_c)::BIGINT AS sum_base_cents, "
+        "sum(price_c * (100 - d))::BIGINT AS sum_disc_cp, "
+        "sum(price_c * (100 - d) * (100 + t))::BIGINT AS sum_charge_cpp, "
+        "sum(d)::BIGINT AS sum_d, count(*) AS n_rows FROM s "
+        "GROUP BY l_returnflag, l_linestatus) "
+        "SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents, "
+        "sum_disc_cp, sum_charge_cpp, "
+        "round(sum_qty / n_rows, 6) AS avg_qty, "
+        "round(sum_base_cents / n_rows, 6) AS avg_price_cents, "
+        "round(sum_d / n_rows, 6) AS avg_disc_pct, n_rows FROM a "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
     # TPC-H Q3 shape: both date filters before any join; per-order
     # revenue aggregated before the joins like the Spark side
     out["q3_shipping_priority"] = (

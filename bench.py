@@ -166,6 +166,7 @@ def main() -> int:
         "pmi_collocations": ops.pmi_collocations,
         "weighted_sample": ops.weighted_sample,
         "length_histogram_quantiles": ops.length_histogram_quantiles,
+        "q1_pricing_summary": ops.q1_pricing_summary,
         "q3_shipping_priority": ops.q3_shipping_priority,
         "q5_local_supplier_volume": ops.q5_local_supplier_volume,
     }

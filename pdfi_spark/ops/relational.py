@@ -76,6 +76,60 @@ def nation_revenue_topk(spark: SparkSession, sf_dir: str,
     return result.orderBy(F.desc("revenue_cp"), F.asc("n_name")).limit(k)
 
 
+Q1_SHIP_CUTOFF = "1998-09-01"
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary) shape: the canonical full-scan
+    aggregate — per (returnflag, linestatus), sums/averages/count over
+    every lineitem shipped by the cutoff. ONE hash-aggregate with
+    map-side partials over a filter-pushed scan; the famous Q1 property
+    is that the aggregate output is tiny (a handful of flag pairs) no
+    matter the input scale, so the shuffle carries #groups rows per
+    task.
+
+    Determinism: every SUM is exact-integer — quantity is integral
+    (cast long), money in cent units, disc_price in cent-percent,
+    charge in cent-percent-percent (price_c*(100-d)*(100+t); exact in
+    int64 here — a true 10^12-row warehouse runs this column as
+    decimal(38), noted); AVGs are one double division of two exact
+    integers each, snapped to 6."""
+    cutoff = F.lit(Q1_SHIP_CUTOFF).cast("timestamp")
+    qty = F.col("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    t = F.round(F.col("l_tax") * 100, 0).cast("long")
+    disc_cp = price_c * (F.lit(100) - d)
+    charge_cpp = disc_cp * (F.lit(100) + t)
+    agg = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= cutoff)
+        .select(
+            "l_returnflag", "l_linestatus",
+            qty.alias("qty"), price_c.alias("price_c"), d.alias("d"),
+            disc_cp.alias("disc_cp"), charge_cpp.alias("charge_cpp"),
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("qty").alias("sum_qty"),
+            F.sum("price_c").alias("sum_base_cents"),
+            F.sum("disc_cp").alias("sum_disc_cp"),
+            F.sum("charge_cpp").alias("sum_charge_cpp"),
+            F.sum("d").alias("sum_d"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+        "sum_disc_cp", "sum_charge_cpp",
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_cents") / F.col("n_rows"), 6)
+        .alias("avg_price_cents"),
+        F.round(F.col("sum_d") / F.col("n_rows"), 6).alias("avg_disc_pct"),
+        "n_rows",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
 Q3_CUTOFF = "1998-01-01"
 Q3_TOPK = 10
 

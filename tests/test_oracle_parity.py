@@ -73,6 +73,7 @@ SUBSET = [
     "pmi_collocations",
     "weighted_sample",
     "length_histogram_quantiles",
+    "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "media_metadata",

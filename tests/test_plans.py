@@ -734,3 +734,13 @@ def test_q5_local_supplier_volume_broadcast_dims_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastExchange") >= 2
     assert plan.count("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual") == 1, plan
+
+
+def test_q1_pricing_summary_pushdown_partial_agg(spark):
+    # the cutoff filter reaches the scan; partial+final HashAggregate
+    # pair (map-side combine -> the shuffle carries #groups rows per
+    # task); the final ORDER BY sorts only the handful of flag pairs
+    plan = _plan(ops.q1_pricing_summary(spark, SF))
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
