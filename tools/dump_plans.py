@@ -217,6 +217,22 @@ CASES = [
      "is bucket-cardinality sized (per-lang window, 3-row broadcast "
      "quantile dimension) — no single-partition funnel",
      None),
+    ("q1_pricing_summary",
+     "TPC-H Q1: cutoff filter pushed to the scan, partial+final "
+     "HashAggregate pair (the shuffle carries #groups rows per task), "
+     "exact-integer sums",
+     None),
+    ("q3_shipping_priority",
+     "TPC-H Q3: date/segment filters pushed to all three scans, "
+     "lineitem partially aggregated to per-order revenue BEFORE any "
+     "join, top-k TakeOrderedAndProject",
+     None),
+    ("q5_local_supplier_volume",
+     "TPC-H Q5: snowflake join with the cross-branch same-nation "
+     "equi-condition riding the orderkey join (never a post-join "
+     "filter over a wider product); 25x5-row nation-region dimension "
+     "broadcast",
+     None),
 ]
 
 
@@ -290,6 +306,9 @@ def main() -> int:
             "pmi_collocations": "pmi_collocations",
             "weighted_sample": "weighted_sample",
             "length_histogram_quantiles": "length_histogram_quantiles",
+            "q1_pricing_summary": "q1_pricing_summary",
+            "q3_shipping_priority": "q3_shipping_priority",
+            "q5_local_supplier_volume": "q5_local_supplier_volume",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
