@@ -585,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q1_pricing_summary"] = ops.q1_pricing_summary
     out["q3_shipping_priority"] = ops.q3_shipping_priority
     out["q5_local_supplier_volume"] = ops.q5_local_supplier_volume
+    out["q14_promo_revenue"] = ops.q14_promo_revenue
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -980,6 +981,24 @@ def oracle_sql() -> dict[str, str]:
         "round(sum_base_cents / n_rows, 6) AS avg_price_cents, "
         "round(sum_d / n_rows, 6) AS avg_disc_pct, n_rows FROM a "
         "ORDER BY l_returnflag, l_linestatus"
+    )
+    from pdfi_spark.ops.relational import Q14_FROM, Q14_PROMO_TYPE, Q14_TO
+
+    # TPC-H Q14 shape: exact-integer conditional sums; the ratio is ONE
+    # double multiply-then-divide (100::DOUBLE — the DECIMAL literal
+    # trap), snapped 6
+    out["q14_promo_revenue"] = (
+        "WITH j AS (SELECT p_type, "
+        f"{_rev_sql} AS rev FROM lineitem JOIN part "
+        "ON l_partkey = p_partkey "
+        f"WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}' "
+        f"AND l_shipdate < TIMESTAMP '{Q14_TO}'), "
+        "a AS (SELECT sum(CASE WHEN p_type = "
+        f"'{Q14_PROMO_TYPE}' THEN rev ELSE 0 END)::BIGINT "
+        "AS promo_rev_cp, sum(rev)::BIGINT AS total_rev_cp FROM j) "
+        "SELECT promo_rev_cp, total_rev_cp, "
+        "round(100::DOUBLE * promo_rev_cp / total_rev_cp, 6) "
+        "AS promo_pct FROM a"
     )
     # TPC-H Q3 shape: both date filters before any join; per-order
     # revenue aggregated before the joins like the Spark side

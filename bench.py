@@ -169,6 +169,7 @@ def main() -> int:
         "q1_pricing_summary": ops.q1_pricing_summary,
         "q3_shipping_priority": ops.q3_shipping_priority,
         "q5_local_supplier_volume": ops.q5_local_supplier_volume,
+        "q14_promo_revenue": ops.q14_promo_revenue,
     }
     round1_set = {
         "extract", "extract_prebucketed", "dedup_exact", "minhash_signatures",

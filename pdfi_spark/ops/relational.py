@@ -240,6 +240,52 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
     )
 
 
+Q14_FROM, Q14_TO = "1997-09-01", "1997-10-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) shape — the conditional-aggregate
+    ratio: what share of one ship-month's revenue came from PROMO-type
+    parts. The only consumer of the part dimension, completing coverage
+    of every driver table.
+
+    Plan shape: the month filter pushes into the lineitem scan BEFORE
+    the join (the join input is one month, not the corpus); the part
+    dimension is broadcast here (200 rows) — at true TPC-H scale part
+    is lineitem/5 and this becomes a keyed shuffle join (noted, the
+    join is keyed either way); the conditional sums partial-aggregate
+    map-side, so the single-partition final step sees one row per task.
+    Determinism: both sums exact cent-percent integers; promo_pct is
+    ONE double multiply-then-divide, snapped 6."""
+    lo = F.lit(Q14_FROM).cast("timestamp")
+    hi = F.lit(Q14_TO).cast("timestamp")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_partkey", _rev_cents().alias("rev"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    agg = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == Q14_PROMO_TYPE, F.col("rev"))
+                .otherwise(F.lit(0))
+            ).alias("promo_rev_cp"),
+            F.sum("rev").alias("total_rev_cp"),
+        )
+    )
+    return agg.select(
+        "promo_rev_cp", "total_rev_cp",
+        F.round(
+            F.lit(100.0) * F.col("promo_rev_cp") / F.col("total_rev_cp"), 6
+        ).alias("promo_pct"),
+    )
+
+
 def top_events_per_user(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Per-group top-k via a rank window: the other canonical window
     shape (sessionization being the first). One exchange on user_id;

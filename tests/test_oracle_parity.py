@@ -76,6 +76,7 @@ SUBSET = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q14_promo_revenue",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

@@ -744,3 +744,14 @@ def test_q1_pricing_summary_pushdown_partial_agg(spark):
     assert "LessThanOrEqual(l_shipdate" in plan, plan
     assert plan.count("HashAggregate") == 2, plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q14_promo_revenue_month_filter_before_join(spark):
+    # the ship-month filter pushes into the lineitem scan (the join
+    # input is one month, never the corpus); the part dimension rides
+    # a BroadcastExchange; conditional sums partial-aggregate map-side
+    plan = _plan(ops.q14_promo_revenue(spark, SF))
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "CartesianProduct" not in plan
