@@ -586,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q3_shipping_priority"] = ops.q3_shipping_priority
     out["q5_local_supplier_volume"] = ops.q5_local_supplier_volume
     out["q14_promo_revenue"] = ops.q14_promo_revenue
+    out["q18_large_volume_customer"] = ops.q18_large_volume_customer
+    out["link_graph_triangles"] = ops.link_graph_triangles
     out["frontier_schedule_streaming"] = _frontier_streaming_query
     # -- group 3: last driver-sampled in round 3 (resume query first:
     #    its wrapper moved to self-cleaning scratch dirs this round) --
@@ -999,6 +1001,20 @@ def oracle_sql() -> dict[str, str]:
         "SELECT promo_rev_cp, total_rev_cp, "
         "round(100::DOUBLE * promo_rev_cp / total_rev_cp, 6) "
         "AS promo_pct FROM a"
+    )
+    from pdfi_spark.ops.relational import Q18_MIN_QTY, Q18_TOPK
+
+    # TPC-H Q18 shape: HAVING prunes before the joins; dates as strings
+    out["q18_large_volume_customer"] = (
+        "WITH big AS (SELECT l_orderkey, sum(l_quantity::BIGINT)::BIGINT "
+        "AS sum_qty FROM lineitem GROUP BY l_orderkey "
+        f"HAVING sum(l_quantity::BIGINT) > {Q18_MIN_QTY}) "
+        "SELECT c_name, c_custkey, l_orderkey AS order_key, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+        "round(o_totalprice * 100)::BIGINT AS total_price_cents, sum_qty "
+        "FROM big JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"ORDER BY sum_qty DESC, order_key ASC LIMIT {Q18_TOPK}"
     )
     # TPC-H Q3 shape: both date filters before any join; per-order
     # revenue aggregated before the joins like the Spark side
@@ -1601,6 +1617,20 @@ def oracle_sql() -> dict[str, str]:
         "f.i::INTEGER AS link_rank FROM fanout f, n) "
     )
     out["html_outlinks"] = _edges_cte + "SELECT src, dst, link_rank FROM edges"
+    # triangle census: low->high orientation, wedge join on the middle
+    # vertex, closing join on the endpoint pair — same closed-form edges
+    out["link_graph_triangles"] = (
+        _edges_cte
+        + ", und AS (SELECT DISTINCT least(src, dst) AS lo, "
+          "greatest(src, dst) AS hi FROM edges WHERE src <> dst), "
+          "wed AS (SELECT x.lo AS a, x.hi AS b, y.hi AS c "
+          "FROM und x JOIN und y ON x.hi = y.lo), "
+          "tri AS (SELECT a FROM wed JOIN und z "
+          "ON z.lo = wed.a AND z.hi = wed.c) "
+          "SELECT (SELECT count(*) FROM und) AS n_edges, "
+          "(SELECT count(*) FROM wed) AS n_wedges, "
+          "(SELECT count(*) FROM tri) AS n_triangles"
+    )
     out["link_graph_degrees"] = (
         _edges_cte
         + "SELECT dst, count(*) AS in_degree, min(src) AS min_src "

@@ -240,6 +240,50 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
     )
 
 
+Q18_MIN_QTY = 250
+Q18_TOPK = 10
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer) shape: the HAVING-filtered
+    semi-join — orders whose TOTAL lineitem quantity exceeds the
+    threshold, joined back to their customer. The aggregate-then-filter
+    pattern every anomaly report uses.
+
+    Plan shape at scale: the per-order quantity aggregate map-side
+    combines, the HAVING filter prunes to the tiny survivor set BEFORE
+    any join touches orders or customer (the joins see survivors,
+    never the corpus — Q18's defining property); top-k is
+    TakeOrderedAndProject. Determinism: quantities are integral (cast
+    long), money in exact cents, dates cross engines as strings."""
+    big = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("total_price_cents"),
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_name", "c_custkey",
+            F.col("l_orderkey").alias("order_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "total_price_cents", "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), F.asc("order_key"))
+        .limit(Q18_TOPK)
+    )
+
+
 Q14_FROM, Q14_TO = "1997-09-01", "1997-10-01"
 Q14_PROMO_TYPE = "PROMO"
 

@@ -741,6 +741,48 @@ def link_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the crawl link graph (undirected view) —
+    the clustering-coefficient denominator and the classic link-farm /
+    community-density signal beside PageRank, HITS, and connected
+    components. Standard two-join distributed algorithm (the
+    MapReduce-era NodeIterator++): orient every edge low->high (each
+    undirected edge and each triangle counted exactly once), enumerate
+    wedges by joining the oriented edge list with itself KEYED on the
+    middle vertex, close each wedge with one more keyed join on the
+    (lo, hi) endpoint pair. Returns one row (n_edges, n_wedges,
+    n_triangles).
+
+    Scale shape: cost is sum(deg^2) wedge rows — keyed joins
+    throughout, never a cartesian; at 10^12 edges production first
+    caps/samples super-hub degrees (the same hot-key story as
+    MAX_LSH_BUCKET), noted not silently swapped. The oriented edge
+    list feeds four consumers (both wedge sides, the closing join, the
+    edge count), so it is checkpointed once."""
+    edges = html_outlinks(spark, sf_dir)
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x, y, z = und.alias("x"), und.alias("y"), und.alias("z")
+    wedges = x.join(y, F.col("x.hi") == F.col("y.lo")).select(
+        F.col("x.lo").alias("a"), F.col("x.hi").alias("b"),
+        F.col("y.hi").alias("c"),
+    )
+    tri = wedges.join(
+        z, (F.col("a") == F.col("z.lo")) & (F.col("c") == F.col("z.hi"))
+    )
+    ne = und.agg(F.count("*").alias("n_edges"))
+    nw = wedges.agg(F.count("*").alias("n_wedges"))
+    nt = tri.agg(F.count("*").alias("n_triangles"))
+    return ne.crossJoin(F.broadcast(nw)).crossJoin(F.broadcast(nt))
+
+
 def read_warc_pages(df: DataFrame, warc_col: str = "content") -> DataFrame:
     """Production WARC connector: a DataFrame of .warc.gz blobs (e.g.
     ``spark.read.format("binaryFile").load("s3://.../\\*.warc.gz")``) ->

@@ -428,3 +428,31 @@ def test_length_histogram_quantiles_replica_and_error_bound(spark):
         ws = sorted(by_lang[lang])
         exact = ws[math.ceil(q * len(ws)) - 1]
         assert abs(est - exact) <= HIST_BUCKET_WORDS, (lang, q, est, exact)
+
+
+def test_link_graph_triangles_matches_pure_python_replica(spark):
+    """Third-engine check: rebuild the planted closed-form link graph
+    in pure Python, orient low->high, count wedges and closed
+    triangles by brute force — and demand identical census numbers."""
+    import pandas as pd
+
+    n = len(pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"]))
+    und = set()
+    for doc_id in range(n):
+        for i in range(doc_id % 3 + 2):
+            dst = (doc_id * 31 + 17 * i + 7) % n
+            if dst != doc_id:
+                und.add((min(doc_id, dst), max(doc_id, dst)))
+    by_lo = {}
+    for lo, hi in und:
+        by_lo.setdefault(lo, []).append(hi)
+    wedges = sum(len(by_lo.get(hi, [])) for _, hi in und)
+    triangles = sum(
+        1 for lo, hi in und for c in by_lo.get(hi, [])
+        if (lo, c) in und
+    )
+    row = ops.link_graph_triangles(spark, SF).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (
+        len(und), wedges, triangles
+    )
+    assert row.n_triangles > 0  # the planted graph actually closes some

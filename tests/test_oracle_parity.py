@@ -77,6 +77,8 @@ SUBSET = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "link_graph_triangles",
     "media_metadata",
     "top_events_per_user",
     "asof_join_events",

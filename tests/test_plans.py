@@ -755,3 +755,24 @@ def test_q14_promo_revenue_month_filter_before_join(spark):
     assert plan.count("BroadcastExchange") == 1
     assert plan.count("HashAggregate") == 2
     assert "CartesianProduct" not in plan
+
+
+def test_q18_having_prunes_before_joins(spark):
+    # the per-order aggregate + HAVING run below the joins (the join
+    # input is the survivor set); top-k is TakeOrderedAndProject
+    plan = _plan(ops.q18_large_volume_customer(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the sum_qty filter sits between the aggregate and the first join
+    assert "(sum_qty" in plan and "HashAggregate" in plan, plan
+
+
+def test_link_graph_triangles_keyed_joins_only(spark):
+    # wedge enumeration and closure are KEYED joins on the checkpointed
+    # oriented edge list — never a cartesian/nested-loop over edges
+    # (the two BroadcastNestedLoopJoins in the plan are the 1-row
+    # census crossJoins, not data joins)
+    plan = _plan(ops.link_graph_triangles(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan  # checkpointed edge list
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
