@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q3_shipping_priority"] = ops.q3_shipping_priority
     out["q5_local_supplier_volume"] = ops.q5_local_supplier_volume
     out["q14_promo_revenue"] = ops.q14_promo_revenue
+    out["q4_order_priority"] = ops.q4_order_priority
     out["q18_large_volume_customer"] = ops.q18_large_volume_customer
     out["link_graph_triangles"] = ops.link_graph_triangles
     out["frontier_schedule_streaming"] = _frontier_streaming_query
@@ -1001,6 +1002,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT promo_rev_cp, total_rev_cp, "
         "round(100::DOUBLE * promo_rev_cp / total_rev_cp, 6) "
         "AS promo_pct FROM a"
+    )
+    from pdfi_spark.ops.relational import Q4_FROM, Q4_LATE_DAYS, Q4_TO
+
+    # TPC-H Q4 shape: the EXISTS correlated subquery — DuckDB plans the
+    # same semi-join the Spark side declares explicitly
+    out["q4_order_priority"] = (
+        "SELECT o_orderpriority, count(*) AS n_orders FROM orders o "
+        f"WHERE o_orderdate >= TIMESTAMP '{Q4_FROM}' "
+        f"AND o_orderdate < TIMESTAMP '{Q4_TO}' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        f"AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
     from pdfi_spark.ops.relational import Q18_MIN_QTY, Q18_TOPK
 

@@ -170,6 +170,7 @@ def main() -> int:
         "q3_shipping_priority": ops.q3_shipping_priority,
         "q5_local_supplier_volume": ops.q5_local_supplier_volume,
         "q14_promo_revenue": ops.q14_promo_revenue,
+        "q4_order_priority": ops.q4_order_priority,
         "q18_large_volume_customer": ops.q18_large_volume_customer,
         "link_graph_triangles": ops.link_graph_triangles,
     }

@@ -240,6 +240,47 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str,
     )
 
 
+Q4_FROM, Q4_TO = "1997-01-01", "1997-07-01"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking) shape, adapted to the driver
+    schema: per priority, how many of a half-year's orders had at least
+    one lineitem shipping more than Q4_LATE_DAYS after the order date —
+    the canonical EXISTS semi-join (the correlated-subquery pattern).
+
+    Plan shape: the half-year filter pushes into the orders scan; the
+    EXISTS lands as a LEFT SEMI join keyed on orderkey with the
+    lateness comparison as the residual condition (one row out per
+    qualifying order no matter how many late lineitems — the semi-join
+    property that keeps the aggregate input bounded by orders, not
+    lineitems); final count is one tiny hash aggregate on the five
+    priorities."""
+    lo = F.lit(Q4_FROM).cast("timestamp")
+    hi = F.lit(Q4_TO).cast("timestamp")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > orders["o_orderdate"] + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
 Q18_MIN_QTY = 250
 Q18_TOPK = 10
 

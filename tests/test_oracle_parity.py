@@ -77,6 +77,7 @@ SUBSET = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q14_promo_revenue",
+    "q4_order_priority",
     "q18_large_volume_customer",
     "link_graph_triangles",
     "media_metadata",

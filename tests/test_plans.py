@@ -776,3 +776,14 @@ def test_link_graph_triangles_keyed_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "ExistingRDD" in plan  # checkpointed edge list
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_q4_order_priority_plans_left_semi(spark):
+    # the EXISTS lands as a LEFT SEMI join keyed on orderkey with the
+    # lateness comparison as the residual — one row out per qualifying
+    # order (the aggregate input is bounded by orders, not lineitems);
+    # the half-year filter reaches the orders scan
+    plan = _plan(ops.q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan
