@@ -233,6 +233,22 @@ CASES = [
      "filter over a wider product); 25x5-row nation-region dimension "
      "broadcast",
      None),
+    ("q4_order_priority",
+     "TPC-H Q4: the EXISTS correlated subquery as a LEFT SEMI join "
+     "keyed on orderkey with the lateness residual — aggregate input "
+     "bounded by orders, never lineitems",
+     None),
+    ("q18_large_volume_customer",
+     "TPC-H Q18: HAVING prunes the per-order aggregate to the tiny "
+     "survivor set BEFORE any join touches orders/customer; top-k "
+     "TakeOrderedAndProject",
+     None),
+    ("link_graph_triangles",
+     "NodeIterator++ triangle census: low->high orientation, wedge "
+     "join keyed on the middle vertex over the checkpointed edge "
+     "list, closing join on the endpoint pair — keyed joins only, "
+     "the only nested loops are the 1-row census crossJoins",
+     None),
 ]
 
 
@@ -309,6 +325,9 @@ def main() -> int:
             "q1_pricing_summary": "q1_pricing_summary",
             "q3_shipping_priority": "q3_shipping_priority",
             "q5_local_supplier_volume": "q5_local_supplier_volume",
+            "q4_order_priority": "q4_order_priority",
+            "q18_large_volume_customer": "q18_large_volume_customer",
+            "link_graph_triangles": "link_graph_triangles",
         }[name])
         df = fn(spark) if builder else fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
