@@ -1,0 +1,52 @@
+"""Scan fan-out for under-split inputs.
+
+A parquet file is splittable only at row-group granularity, so a
+single-file single-row-group table scans as ONE task no matter how many
+cores the cluster has — and every narrow stage above it (Arrow UDF
+passes, per-row expression folds, map-side partial aggregates) runs
+serially until the first exchange. That is the canonical "unsplittable
+input" skew case (spark_optimization_guide §2.5: "one huge unsplittable
+file ... repartition immediately after the read").
+
+``read_parquet_fanned`` reads a parquet path and, ONLY when the scan
+plans fewer splits than the cluster's parallelism, round-robin
+repartitions right above the scan. At production scale (many files /
+many row groups / bucketed layouts) the scan already yields >= cores
+splits and this is a NO-OP — the repartition never appears in the plan,
+so the zero-extra-exchange shape of every operator is preserved exactly
+where it matters. Round-robin repartition is deterministic under task
+retries (sort-before-repartition is on by default, SPARK-23207), and
+column pruning / filter pushdown both traverse a Repartition node, so
+PushedFilters/ReadSchema still reach the scan.
+
+The split count is planning metadata (file listing), memoized per
+(session, path) so repeated reads inside one bench process don't re-plan
+the probe; no data or results are ever cached.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SCAN_PARTS: dict[tuple[int, str], int] = {}
+
+
+def scan_partitions(spark: SparkSession, path: str, df: DataFrame) -> int:
+    key = (id(spark), path)
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover — exotic sources
+            n = 1 << 30
+        _SCAN_PARTS[key] = n
+    return n
+
+
+def read_parquet_fanned(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet(path), fanned out to the cluster's parallelism
+    iff the scan itself is under-split (see module docstring)."""
+    df = spark.read.parquet(path)
+    p = spark.sparkContext.defaultParallelism
+    if scan_partitions(spark, path, df) < p:
+        return df.repartition(p)
+    return df

@@ -22,6 +22,8 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._scan import read_parquet_fanned
+
 MINHASH_PERMS = 4
 # hex-digit start offsets (1-based) of the four 32-bit lanes of one md5
 MINHASH_LANE_OFFSETS = [1 + 8 * i for i in range(MINHASH_PERMS)]
@@ -55,7 +57,7 @@ def _minhash128_params() -> list[tuple[int, int, int]]:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_fanned(spark, f"{sf_dir}/documents.parquet")
 
 
 def _hash32(col):

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._scan import read_parquet_fanned
+
 # magic-byte sniffing table: prefix -> (codec, modality)
 MAGIC = [
     (b"%PDF", "pdf", "document"),
@@ -35,7 +37,7 @@ N_FRAMES = 4    # frame-sample stub count
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return read_parquet_fanned(spark, f"{sf_dir}/documents.parquet")
 
 
 def sniff_codec(payload: bytes) -> tuple[str, str]:

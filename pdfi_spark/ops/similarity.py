@@ -15,6 +15,8 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._scan import read_parquet_fanned
+
 LSH_PLANES = 8
 LSH_MAX_DIMS = 64  # widest embedding the literal weight arrays cover
 
@@ -31,7 +33,7 @@ def plane_weights(plane: int, n_dims: int = LSH_MAX_DIMS) -> list[int]:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_fanned(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _dot(a, b):
@@ -58,8 +60,12 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     default). The single-row query side is broadcast; the scan side is a
     narrow map + TakeOrdered — no shuffle."""
     emb = _emb(spark, sf_dir)
+    # query norm precomputed in the 1-row broadcast side (it was being
+    # re-folded per scanned row); same fold -> same double -> same
+    # product, so the scores are bit-identical
     query = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
     scored = (
         emb.filter(F.col("vec_id") != query_vec_id)
@@ -69,7 +75,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             (
                 F.round(
                     _dot(F.col("embedding"), F.col("qvec"))
-                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    / (_norm(F.col("embedding")) * F.col("qnrm")),
                     3,
                 )
                 + F.lit(0.0)  # normalize IEEE -0.0
@@ -146,14 +152,20 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> Dat
     emb = _emb(spark, sf_dir)
     # materialized: the two self-join sides are separate subtrees to
     # Catalyst, so the 8-plane sign-bit fold would otherwise run twice
+    # norm precomputed per vector before the pair join (the interpreted
+    # fold would otherwise run per PAIR on both sides — same recipe as
+    # semdedup; the product of the same fold results is bit-identical)
     coded = emb.select(
-        "vec_id", "embedding", _lsh_code(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", _lsh_code(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     ).localCheckpoint(eager=True)
     a = coded.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"),
     )
     b = coded.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        F.col("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         a.join(b, "bucket")
@@ -164,7 +176,7 @@ def embedding_neardup_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> Dat
             (
                 F.round(
                     _dot(F.col("emb_a"), F.col("emb_b"))
-                    / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))),
+                    / (F.col("nrm_a") * F.col("nrm_b")),
                     3,
                 )
                 + F.lit(0.0)
@@ -243,7 +255,10 @@ def ivf_train_cells(spark: SparkSession, sf_dir: str,
     sub-ULP double-summation-order noise, so both engines iterate from
     bit-identical codebooks. Exactness on hand-computable inputs is also
     pinned by tests/test_kmeans.py."""
-    emb = _emb(spark, sf_dir)
+    # materialized once: every Lloyd iteration's checkpoint action and
+    # the final assignment would otherwise each re-pay the scan (and its
+    # fan-out exchange) — same subtree-reuse rule as the codebook itself
+    emb = _emb(spark, sf_dir).localCheckpoint(eager=True)
     codebook = kmeans_codebook(emb, iters=iters)
     assigned = _ivf_assign(emb, centroids=codebook)
     return assigned.groupBy("centroid_id").agg(F.count("*").alias("n_vecs"))
@@ -264,13 +279,23 @@ def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS,
         cent = centroids
     else:
         cent = _centroids(codebook_src if codebook_src is not None else emb, n)
-    scored = emb.crossJoin(F.broadcast(cent)).select(
+    # norms precomputed ONCE per vector / per centroid before the
+    # broadcast cross join: the HOF norm fold is interpreted per
+    # element, so evaluating it per (vector, centroid) row costs n x
+    # (resp. N/n_centroids x) the useful work. The product of the same
+    # two fold results is bit-identical to the inline formula, so the
+    # assignment (and its oracle) is unchanged.
+    embn = emb.withColumn("_nrm", _norm(F.col("embedding")))
+    centn = cent.select(
+        "centroid_id", "cvec", _norm(F.col("cvec")).alias("_cnrm")
+    )
+    scored = embn.crossJoin(F.broadcast(centn)).select(
         "vec_id",
         "embedding",
         "centroid_id",
         (
             _dot(F.col("embedding"), F.col("cvec"))
-            / (_norm(F.col("embedding")) * _norm(F.col("cvec")))
+            / (F.col("_nrm") * F.col("_cnrm"))
         ).alias("cos_c"),
     )
     # lexicographic (cos_c, -centroid_id) == ORDER BY cos_c DESC, centroid ASC
@@ -303,7 +328,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     qcell = _ivf_assign(
         emb.filter(F.col("vec_id") == query_vec_id), codebook_src=emb
     ).select(
-        F.col("centroid_id").alias("qcell"), F.col("embedding").alias("qvec")
+        F.col("centroid_id").alias("qcell"), F.col("embedding").alias("qvec"),
+        # query norm precomputed in the 1-row broadcast side (was
+        # re-folded per probed row; bit-identical product)
+        _norm(F.col("embedding")).alias("qnrm"),
     )
     probe = (
         assigned.join(F.broadcast(qcell), F.col("centroid_id") == F.col("qcell"))
@@ -313,7 +341,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             (
                 F.round(
                     _dot(F.col("embedding"), F.col("qvec"))
-                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    / (_norm(F.col("embedding")) * F.col("qnrm")),
                     3,
                 )
                 + F.lit(0.0)
@@ -356,6 +384,10 @@ def _semdedup_from(emb: DataFrame, iters: int = 2,
                    n: int = N_CENTROIDS) -> DataFrame:
     """semdedup core over an explicit (vec_id, embedding) DataFrame —
     unit-testable on hand-computable inputs (tests/test_kmeans.py)."""
+    # materialized once: the Lloyd iterations and the assignment below
+    # are separate actions that would each re-execute the emb subtree
+    # (scan + fan-out exchange) otherwise
+    emb = emb.localCheckpoint(eager=True)
     codebook = kmeans_codebook(emb, n=n, iters=iters)
     # norm precomputed ONCE per vector before the pair join: the HOF
     # norm fold is interpreted per element, so recomputing it per PAIR
@@ -409,17 +441,21 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
     emb = _emb(spark, sf_dir)
     assigned = _ivf_assign(emb)
     cent = _centroids(emb)
+    # query norm precomputed once in the 1-row side (was re-folded per
+    # candidate centroid and again per probed row; bit-identical)
     query = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qnrm"),
     )
     qcells = (
         cent.crossJoin(F.broadcast(query))
         .select(
             "centroid_id",
             "qvec",
+            "qnrm",
             (
                 _dot(F.col("cvec"), F.col("qvec"))
-                / (_norm(F.col("cvec")) * _norm(F.col("qvec")))
+                / (_norm(F.col("cvec")) * F.col("qnrm"))
             ).alias("cos_c"),
         )
         .withColumn(
@@ -429,7 +465,7 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             ),
         )
         .filter(F.col("cell_rank") <= nprobe)
-        .select("centroid_id", "qvec")
+        .select("centroid_id", "qvec", "qnrm")
     )
     probe = (
         assigned.join(F.broadcast(qcells), "centroid_id")
@@ -439,7 +475,7 @@ def ivf_topk_nprobe(spark: SparkSession, sf_dir: str, query_vec_id: int = 0,
             (
                 F.round(
                     _dot(F.col("embedding"), F.col("qvec"))
-                    / (_norm(F.col("embedding")) * _norm(F.col("qvec"))),
+                    / (_norm(F.col("embedding")) * F.col("qnrm")),
                     3,
                 )
                 + F.lit(0.0)

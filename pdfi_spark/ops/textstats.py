@@ -6,11 +6,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ._scan import read_parquet_fanned
+
 EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 BPE_ISH_RE = "[a-z]{1,4}"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fanned-out scan — for operators whose dominant cost is per-row
+    narrow work (md5 shingle folds, HOF array math, regex chains): a
+    single-row-group input would otherwise run all of it on one core
+    (see ops/_scan.py)."""
+    return read_parquet_fanned(spark, f"{sf_dir}/documents.parquet")
+
+
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw scan — for operators that are aggregate/exchange-bound
+    (explode -> keyed aggregate, windows): their map-side partials
+    compress before the first exchange, so the fan-out repartition
+    would add an exchange of raw text rows that costs more than the
+    serial narrow work it parallelizes (measured at sf0.1)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -140,7 +155,7 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate with map-side partial sketches), which an
     approximation oracle cannot hash-pin — hence the exact variant
     under the gate."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     grouped = (
         docs.select("lang", F.size(F.split("text", " ")).alias("words"))
         .groupBy("lang")
@@ -179,7 +194,7 @@ def length_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle casts its quantile literals ::DOUBLE — DECIMAL
     arithmetic would ceil differently); the interpolation is snapped
     to 9."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     words = F.size(F.split("text", " "))
     b = (
         docs.select("lang", words.alias("words"))
@@ -219,7 +234,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus report: doc counts, char totals, word totals —
     one hash-aggregate shuffle with map-side partials (the shape of every
     corpus-composition dashboard query)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     words = F.size(F.split("text", " "))
     return (
         docs.groupBy("lang")
@@ -309,7 +324,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any engine and stable under reruns/resumes (unlike rand()-based
     sampling). Reports per-lang kept/total, the corpus-subsampling
     audit every training run records."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     bucket = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long") % SAMPLE_MOD
@@ -339,7 +354,7 @@ def lang_balance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: sqrt and double division are
     correctly-rounded IEEE ops, so the DuckDB twin selects the
     identical doc set (boundary equality has measure zero)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     fracs = (
         docs.groupBy("lang")
         .agg(F.count("*").alias("n_lang"))
@@ -397,8 +412,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str,
     ties rank by (score desc, term)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()
+    docs = _docs_raw(spark, sf_dir)
+    # raw-scan count-star (metadata-cheap; the fanned scan would pay its
+    # repartition exchange just to count rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -437,12 +454,17 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str,
     snapped to 9 decimals per term (ln ~1ulp both engines), the per-doc
     mean snapped to 6 (accumulation-order drift ~1e-14 cannot reach the
     grid)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
     counts = words.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = words.count()
+    # corpus token total WITHOUT materializing a row per word: one
+    # narrow agg of per-doc sizes — same exact integer as the old
+    # explode+count, one cheap pass instead of a 10^15-row generate
+    total = docs.agg(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
     surprisal = F.round(
         -F.log(F.col("cnt").cast("double") / F.lit(float(total))), 9
     )
@@ -474,7 +496,7 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str,
     have no bigram and drop out (mirrored in the oracle). Determinism:
     -ln(c2/c1) snapped to 9 decimals, per-doc mean snapped to 6 — same
     grid argument as unigram_surprisal."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     ws = F.split("text", " ")
     pairs = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 1),
@@ -522,7 +544,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln is snapped to 9 BEFORE the division by the exact integer weight
     (correctly-rounded double ops in identical order both engines);
     ties break by doc_id."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     w = F.size(F.split("text", " ")).cast("long")
     h = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), F.lit("ws"))),
@@ -567,9 +589,15 @@ def pmi_collocations(spark: SparkSession, sf_dir: str,
     (each division/multiply correctly rounded -> bit-identical
     doubles), and the single ln is snapped to 9 decimals (~1ulp engine
     drift cannot reach the grid)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     ws = F.split("text", " ")
-    n_uni = docs.select(F.explode(ws).alias("w")).count()
+    # both corpus totals in ONE narrow agg (was: two explode+count jobs
+    # — two extra full scans materializing a row per token; the per-doc
+    # sizes sum to the identical exact integers: every doc has >= 1
+    # split token, so bigram positions per doc = size - 1 >= 0)
+    n_uni, n_bi = docs.agg(
+        F.sum(F.size(ws)), F.sum(F.size(ws) - 1)
+    ).first()
     pairs = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 1),
         F.slice(ws, 2, F.size(ws) - 1),
@@ -578,7 +606,6 @@ def pmi_collocations(spark: SparkSession, sf_dir: str,
     big = docs.select(F.explode(pairs).alias("bg")).select(
         "bg.w1", "bg.w2"
     )
-    n_bi = big.count()
     c12 = (
         big.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
@@ -639,8 +666,10 @@ def pack_training_shards(spark: SparkSession, sf_dir: str,
     tests/test_plans.py."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # parquet metadata count-star
+    docs = _docs_raw(spark, sf_dir)
+    # raw-scan count-star (cheap; the fanned scan would pay its
+    # repartition exchange just to count rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     span = max(1, -(-n_docs // SHARD_CHUNKS))  # ceil
     toks = docs.select(
         "doc_id",
@@ -698,7 +727,7 @@ def training_shuffle_manifest(spark: SparkSession, sf_dir: str,
     seeded rng, so any engine reproduces the identical manifest."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     hashed = docs.select(
         "doc_id",
         F.md5(F.col("doc_id").cast("string")).alias("hx"),
@@ -779,10 +808,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of two exact integers (identical in both engines); idf is
     snapped to 9 decimals, the per-term score to 9, the per-doc sum
     (<= |query| addends, drift ~1e-15) to 6."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     words = F.split("text", " ")
-    n_docs = docs.count()
-    total_words = docs.select(F.explode(words).alias("w")).count()
+    # both scalars in ONE narrow agg (was: a count job plus an
+    # explode+count job — the explode materialized a row per token where
+    # sum(size(words)) gets the identical exact integer in-row)
+    n_docs, total_words = docs.agg(
+        F.count("*"), F.sum(F.size(words))
+    ).first()
     avgdl = total_words / n_docs  # exact ints -> one correctly-rounded double
     hits = docs.select(
         "doc_id",
@@ -833,7 +866,7 @@ def surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned for exact_substring_dup). Determinism: inputs are on the
     1e-6 grid; interpolated thresholds snap to 9 decimals (engine
     interpolation-order drift ~1 ulp cannot reach that grid)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     s = unigram_surprisal(spark, sf_dir).join(
         docs.select("doc_id", "lang"), "doc_id"
     ).select("doc_id", "lang", "mean_surprisal")
@@ -881,7 +914,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed once — three subtrees (counters, top-k, probe) would
     otherwise re-run it."""
     tc = (
-        _docs(spark, sf_dir)
+        _docs_raw(spark, sf_dir)
         .select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..core.html import block_stats, extract_main_text, parse_blocks, parse_links
 from ..core.htmlgen import ORACLE_PER_BLOCK, build_html, build_linked_page
+from ._scan import read_parquet_fanned
 
 HTML_ORACLE_RECIPES = [
     "plain", "boiler", "linkfarm", "entities", "nested", "malformed",
@@ -44,6 +45,29 @@ BOILER_N_BOILER_WORDS = _PROBE["n_boiler_words"]
 
 
 def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_parquet_fanned(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Metadata-cheap count-star over the RAW scan (a fanned-out scan
+    would pay its repartition exchange just to count rows)."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id) node list over the RAW scan: it feeds several tiny
+    per-iteration joins in the graph fixed-point operators, and each
+    reference would re-pay the fan-out repartition for a one-column
+    projection with no narrow work to parallelize."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+
+def _base_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) over the RAW scan — for the snapshot-diff family,
+    whose narrow work is one md5 per doc (far below the fan-out
+    break-even; the repartition exchange measured as a net loss)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -129,7 +153,7 @@ def html_outlinks(spark: SparkSession, sf_dir: str,
     no explode shuffle either."""
     base = _base(spark, sf_dir)
     if n_docs is None:
-        n_docs = base.count()  # parquet count-star: metadata-only job
+        n_docs = _n_docs(spark, sf_dir)  # raw-scan count-star: cheap
 
     def run(iterator):
         for batch in iterator:
@@ -221,6 +245,9 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, raw_url, canon_url): the canonicalizer over the planted
     messy-URL corpus. Narrow zero-exchange codegen map; scan pruned to
     doc_id only."""
+    # RAW scan: the canonicalizer is a handful of regex ops per row —
+    # far below the fan-out break-even (the repartition exchange would
+    # cost more than the serial narrow work it parallelizes)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
@@ -338,7 +365,7 @@ def anchor_text_index(spark: SparkSession, sf_dir: str,
     as link_graph_degrees."""
     base = _base(spark, sf_dir)
     if n_docs is None:
-        n_docs = base.count()  # parquet metadata count-star
+        n_docs = _n_docs(spark, sf_dir)  # raw-scan count-star: cheap
 
     def run(iterator):
         for batch in iterator:
@@ -456,8 +483,8 @@ def crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SortMergeJoin in the inventory — at 10^12 URLs both sides shuffle
     once on the join key and stream merge; digests are md5 computed
     in-row (narrow)."""
-    docs = _base(spark, sf_dir)
-    n = docs.count()  # parquet metadata count-star
+    docs = _base_raw(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)  # raw-scan count-star: cheap
     lo, hi = int(n * 0.2), int(n * 0.8)
     url = F.concat(F.lit("https://example.org/page/"),
                    F.col("doc_id").cast("string"))
@@ -500,8 +527,8 @@ def incremental_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate-identical digests skew-cluster and AQE splits them.
     Digests are computed in-row (narrow md5) — never a text-to-text
     compare."""
-    docs = _base(spark, sf_dir)
-    n = docs.count()  # parquet metadata count-star
+    docs = _base_raw(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)  # raw-scan count-star: cheap
     lo, hi = int(n * 0.2), int(n * 0.8)
     old_digests = (
         docs.filter(F.col("doc_id") < hi)
@@ -550,8 +577,8 @@ def bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles for the gate (the exact join rides along here only as the
     verification column). The prior-digest subtree feeds both the
     filter and the exact side, so it's checkpointed once."""
-    docs = _base(spark, sf_dir)
-    n = docs.count()  # parquet metadata count-star
+    docs = _base_raw(spark, sf_dir)
+    n = _n_docs(spark, sf_dir)  # raw-scan count-star: cheap
     lo, hi = int(n * 0.2), int(n * 0.8)
     old_digests = (
         docs.filter(F.col("doc_id") < hi)
@@ -1024,8 +1051,8 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     page links out, so the dangling term contributes exactly zero here —
     the code path still runs; link_graph_pagerank_dangling exercises it
     with real mass)."""
-    nodes = _base(spark, sf_dir).select("doc_id")
-    n_docs = nodes.count()
+    nodes = _nodes(spark, sf_dir)
+    n_docs = _n_docs(spark, sf_dir)
     edges = html_outlinks(spark, sf_dir, n_docs=n_docs)
     return _pagerank_topk(nodes, edges, n_docs)
 
@@ -1044,8 +1071,8 @@ def link_graph_pagerank_dangling(spark: SparkSession,
     redistribution carries real weight and the DuckDB twin pins its
     exact arithmetic. Without the term, ~1/7 of the rank mass would
     leak per iteration and every rank would come out low."""
-    nodes = _base(spark, sf_dir).select("doc_id")
-    n_docs = nodes.count()
+    nodes = _nodes(spark, sf_dir)
+    n_docs = _n_docs(spark, sf_dir)
     edges = (
         html_outlinks(spark, sf_dir, n_docs=n_docs)
         .filter(F.col("src") % PAGERANK_DANGLING_MOD != 0)
@@ -1210,8 +1237,8 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-step is one keyed join (src or dst) + one hash-aggregate;
     production co-partitions edges by src and keeps a dst-keyed copy so
     only the score side moves per half-step."""
-    nodes = _base(spark, sf_dir).select("doc_id")
-    n_docs = nodes.count()
+    nodes = _nodes(spark, sf_dir)
+    n_docs = _n_docs(spark, sf_dir)
     edges = (
         html_outlinks(spark, sf_dir, n_docs=n_docs)
         .select("src", "dst").localCheckpoint(eager=True)

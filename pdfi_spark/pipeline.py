@@ -63,6 +63,11 @@ def make_spark(app_name: str = "pdfi_spark", master: str | None = None,
         # 1g default GC-thrashes under 32 concurrent binary Arrow batches,
         # and 8g+ produced longer pauses (no effect if the JVM is already up)
         .config("spark.driver.memory", "2g")
+        # console progress writes \r-spam to stderr that can interleave
+        # with (and truncate) the one-line JSON contract bench.py prints
+        # on stdout when both are captured through one pipe — and it is
+        # pure noise in any non-interactive run
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -90,12 +90,12 @@ def test_bigram_surprisal_semantics(spark):
         [(0, "a b a b a b"), (1, "a b x"), (2, "solo")],
         "doc_id long, text string",
     )
-    orig = textstats._docs
-    textstats._docs = lambda s, d: docs
+    orig = textstats._docs_raw
+    textstats._docs_raw = lambda s, d: docs
     try:
         rows = {r.doc_id: r for r in bigram_surprisal(spark, "x").collect()}
     finally:
-        textstats._docs = orig
+        textstats._docs_raw = orig
     # corpus bigrams: a>b x4 (of 5 'a·'... wait: a-starts = 4), b>a x2,
     # b>x x1. c(a·)=4 (doc0 x3 + doc1 x1), all 'a b' -> -ln(4/4)=0;
     # c(b·)=3: b>a -> -ln(2/3), b>x -> -ln(1/3)
