@@ -232,13 +232,26 @@ def _minhash128_artifacts(docs: DataFrame, with_words: bool = False,
                 list(dict.fromkeys(ws)) for ws in raw_per_doc
             ]
             counts = np.asarray([len(w) for w in words_per_doc])
-            digests = b"".join(
-                md5(w.encode("utf-8")).digest()
+            # hash each BATCH-distinct word once and gather: real corpora
+            # share vocabulary across documents, so the md5 calls and the
+            # (a*h+b) mod P lane expansion both collapse from
+            # sum(per-doc distinct words) rows to batch-vocabulary rows —
+            # per-word results are identical, so signatures are
+            # bit-for-bit unchanged (pinned against the HOF fold in
+            # test_dedup_clusters.py)
+            vocab: dict[str, int] = {}
+            setdefault = vocab.setdefault
+            widx = [
+                setdefault(w, len(vocab))
                 for ws in words_per_doc for w in ws
+            ]
+            digests = b"".join(
+                md5(w.encode("utf-8")).digest() for w in vocab
             )
             # digest bytes [4i,4i+4) big-endian == hex[8i:8i+8] parsed
             lanes = np.frombuffer(digests, dtype=">u4").reshape(-1, 4)
-            vals = (lanes.astype(np.int64)[:, IDX] * A + B) % P
+            vals_u = (lanes.astype(np.int64)[:, IDX] * A + B) % P
+            vals = vals_u[np.asarray(widx, dtype=np.int64)]
             starts = np.zeros(len(counts), dtype=np.int64)
             np.cumsum(counts[:-1], out=starts[1:])
             mins = np.minimum.reduceat(vals, starts, axis=0)
@@ -379,13 +392,65 @@ def minhash128_jaccard_estimates(spark: SparkSession,
     )
 
 
+def _simhash_np(docs: DataFrame) -> DataFrame:
+    """Vectorized numpy twin of the HOF SimHash fold (the default —
+    same precedent as _minhash128_sig_np: Catalyst HOF lambdas are
+    interpreted per element, so the 32-lane zip_with costs ~32
+    interpreter steps per WORD; here a batch's distinct words hash once
+    each, the +-1 bit matrix expands once per distinct word, and the
+    per-doc accumulation is one np.add.reduceat). All-integer math in
+    the identical bit layout (first 4 md5 bytes big-endian == the
+    conv(substr(md5,1,8)) lane), so the result is bit-identical to the
+    HOF fold — pinned lane-for-lane in tests/test_dedup_clusters.py."""
+    import numpy as np
+    import pandas as pd
+
+    def fold(iterator):
+        import hashlib
+
+        md5 = hashlib.md5
+        powers = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for batch in iterator:
+            words_per_doc = [str(t).split(" ") for t in batch["text"]]
+            counts = np.asarray([len(ws) for ws in words_per_doc])
+            vocab: dict[str, int] = {}
+            setdefault = vocab.setdefault
+            widx = [
+                setdefault(w, len(vocab))
+                for ws in words_per_doc for w in ws
+            ]
+            digests = b"".join(
+                md5(w.encode("utf-8")).digest()[:4] for w in vocab
+            )
+            h = np.frombuffer(digests, dtype=">u4").astype(np.int64)
+            # (vocab, 32) of +-1: bit b set -> +1 else -1
+            bits = (((h[:, None] >> shifts) & 1) * 2 - 1)
+            vals = bits[np.asarray(widx, dtype=np.int64)]
+            starts = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            acc = np.add.reduceat(vals, starts, axis=0)
+            sim = ((acc > 0) * powers).sum(axis=1)
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "simhash": sim})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fold, schema="doc_id long, simhash long"
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash with word-frequency weights, computed as a NARROW
-    per-row fold: hash each word once (transform), accumulate the 32
-    per-bit +-1 counts with aggregate/zip_with, recombine sign bits —
-    all inside the row, no explode shuffle (same 10^15-row-exchange
-    argument as minhash_signatures)."""
-    docs = _docs(spark, sf_dir)
+    """32-bit SimHash with word-frequency weights — vectorized numpy
+    default (see _simhash_np); the Catalyst-HOF fold below remains as
+    the cross-check twin."""
+    return _simhash_np(_docs(spark, sf_dir))
+
+
+def _simhash_hof(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash as a NARROW per-row Catalyst fold: hash each word
+    once (transform), accumulate the 32 per-bit +-1 counts with
+    aggregate/zip_with, recombine sign bits — all inside the row, no
+    explode shuffle (same 10^15-row-exchange argument as
+    minhash_signatures). Kept as the JVM cross-check for _simhash_np."""
     hashes = F.transform(F.split("text", " "), lambda w: _hash32(w))
     # bit masks as a LITERAL array: the old sequence+pow formulation
     # recomputed pow(2.0, b) per word per bit — 32 pow calls/word of pure
@@ -472,13 +537,41 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(col="text", n=3):
-    """Distinct word n-gram shingles as an array<string> expression."""
+    """Distinct word n-gram shingles as an array<string> expression
+    (Catalyst-HOF form; callers must pre-filter docs with >= n words).
+    Kept as the JVM cross-check / expression-level consumer form —
+    the scan-level builder below is the vectorized default."""
     words = F.split(col, " ")
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(words) - n),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
+    )
+
+
+def _shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles): distinct word n-gram shingles built in
+    Python per Arrow batch — the same first-occurrence-distinct set as
+    the _shingles HOF expression (pinned element-for-element in
+    tests/test_dedup_clusters.py), without the per-window interpreted
+    concat_ws/slice lambdas (the HOF fold never enters whole-stage
+    codegen; one Python join per window is measurably cheaper). Callers
+    must pre-filter docs with >= n words, exactly like _shingles."""
+    import pandas as pd
+
+    def fold(iterator):
+        for batch in iterator:
+            sh = [
+                list(dict.fromkeys(
+                    " ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)
+                ))
+                for ws in (str(t).split(" ") for t in batch["text"])
+            ]
+            yield pd.DataFrame({"doc_id": batch["doc_id"], "shingles": sh})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fold, schema="doc_id long, shingles array<string>"
     )
 
 
@@ -527,18 +620,36 @@ def candidate_pairs(spark: SparkSession, sf_dir: str,
 def _pairs_from_members(members: DataFrame,
                         max_bucket: int = MAX_LSH_BUCKET) -> DataFrame:
     """(band, bucket, doc_id) membership rows -> distinct candidate
-    pairs, with oversized buckets capped first (see candidate_pairs)."""
-    from pyspark.sql import Window
+    pairs, with oversized buckets capped first (see candidate_pairs).
 
-    members = members.withColumn(
-        "bucket_n", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
-    a = members.alias("a")
-    b = members.alias("b")
+    Shape: ONE keyed aggregate collects each bucket's member list, the
+    cap filter drops oversized buckets, and the <= C(max_bucket, 2)
+    pairs per bucket generate IN-ROW (sorted doc list -> i<j
+    combinations) — replacing the old count-window + keyed SELF-JOIN,
+    which shuffled the membership twice (Catalyst re-plans the windowed
+    subtree per join side) and re-sorted both sides. Same exchange
+    bytes (the member lists), one fewer shuffle + no join, identical
+    pair set: within a (band, bucket) every doc_id is distinct, so
+    sorted i<j combinations == the join's doc_a < doc_b condition; the
+    final distinct() still dedupes across bands."""
+    ids = F.array_sort(F.collect_list("doc_id"))
+    grouped = (
+        members.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") <= max_bucket)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -699,8 +810,7 @@ def _dedup_clusters_from(spark: SparkSession, sf_dir: str,
     # already materialized shingles (the fused 128-perm artifacts pass)
     # hands them in; the 4-perm path keeps the standalone HOF fold.
     sh = shingle_df if shingle_df is not None else (
-        docs.filter(F.size(F.split("text", " ")) >= 3)
-        .select("doc_id", _shingles().alias("shingles"))
+        _shingles_df(docs.filter(F.size(F.split("text", " ")) >= 3))
         .localCheckpoint(eager=True)
     )
     verified = (
@@ -736,8 +846,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_clusters`` above)."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
     # the shingle fold feeds both self-join sides: materialize once
-    sh = docs.select("doc_id", _shingles().alias("shingles")) \
-        .localCheckpoint(eager=True)
+    sh = _shingles_df(docs).localCheckpoint(eager=True)
     right = sh.select(
         (F.col("doc_id") - 1).alias("doc_id"), F.col("shingles").alias("shingles_b")
     )

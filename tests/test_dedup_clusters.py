@@ -94,3 +94,76 @@ def test_minhash128_numpy_fold_matches_hof_fold(spark):
     np_ = {r["doc_id"]: list(r["sig"])
            for r in _minhash128_sig_np(docs).collect()}
     assert hof == np_
+
+
+def test_simhash_numpy_fold_matches_hof_fold(spark):
+    """The vectorized numpy SimHash (the default) and the Catalyst-HOF
+    fold are the SAME function — bit-identical on the same awkward
+    inputs as the minhash twin (frequency weighting included: repeated
+    words must tip sign bits exactly like the sequential fold)."""
+    from pdfi_spark.ops.dedup import _simhash_hof, _simhash_np
+
+    docs = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "a a b b a"),
+            (3, "x  y   z"),
+            (4, "héllo wörld ünïcode"),
+            (5, " ".join(f"w{i % 17}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    hof = {r["doc_id"]: r["simhash"] for r in _simhash_hof(docs).collect()}
+    np_ = {r["doc_id"]: r["simhash"] for r in _simhash_np(docs).collect()}
+    assert hof == np_
+
+
+def test_shingles_df_matches_hof_expression(spark):
+    """The Python shingle builder (the default for ngram_jaccard and
+    the 4-perm dedup path) emits the SAME first-occurrence-distinct
+    shingle list as the _shingles HOF expression, element for element
+    (both sides pre-filter docs with >= 3 words, per the contract)."""
+    from pyspark.sql import functions as F
+
+    from pdfi_spark.ops.dedup import _shingles, _shingles_df
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "a a a a"),           # repeated shingles dedup
+            (2, "x  y   z q"),        # empty-string words from split
+            (3, "héllo wörld ünïcode ok"),
+            (4, " ".join(f"w{i % 5}" for i in range(50))),
+        ],
+        "doc_id long, text string",
+    ).filter(F.size(F.split("text", " ")) >= 3)
+    hof = {r["doc_id"]: list(r["sh"])
+           for r in docs.select("doc_id", _shingles().alias("sh")).collect()}
+    py = {r["doc_id"]: list(r["shingles"])
+          for r in _shingles_df(docs).collect()}
+    assert hof == py
+
+
+def test_pairs_from_members_matches_join_semantics(spark):
+    """The in-row pair generator must produce exactly the pair set of
+    the old windowed self-join: all doc_a < doc_b pairs within capped
+    (band, bucket) groups, distinct across bands."""
+    from pdfi_spark.ops.dedup import _pairs_from_members
+
+    members = spark.createDataFrame(
+        [
+            # band 1, bucket x: {1, 2, 3} -> 3 pairs
+            (1, "x", 1), (1, "x", 2), (1, "x", 3),
+            # band 2, bucket y: {2, 3} -> duplicate pair (2,3) across bands
+            (2, "y", 2), (2, "y", 3),
+            # band 2, bucket z: singleton -> no pair
+            (2, "z", 9),
+            # band 1, bucket big: oversized -> capped away entirely
+            *[(1, "big", i) for i in range(100, 170)],
+        ],
+        "band int, bucket string, doc_id long",
+    )
+    got = {(r["doc_a"], r["doc_b"])
+           for r in _pairs_from_members(members).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
