@@ -662,11 +662,16 @@ def _large_star(sym: DataFrame) -> DataFrame:
         sym.groupBy("u").agg(F.min("v").alias("mn"))
         .select("u", F.least("u", "mn").alias("m"))
     )
+    # no dedup here: duplicate (child, m) rows cannot change any
+    # downstream min/relink (small_star's final distinct restores the
+    # set property each round, so rounds stay bounded), and the join
+    # output multiset is deterministic so the convergence witness still
+    # observes a stable fixpoint — dropping the exchange saves one
+    # shuffle per CC round
     return (
         sym.where(F.col("v") > F.col("u"))
         .join(m, "u")
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 

@@ -1244,9 +1244,16 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst").localCheckpoint(eager=True)
     )
 
-    def _half(scores, score_col, join_key, out_key):
+    def _half(scores, score_col, join_key, out_key, checkpoint=True):
         """One HITS half-step: sum scores across edges onto the other
-        endpoint, then L1-normalize (snapped at 12 both stages)."""
+        endpoint, then L1-normalize (snapped at 12 both stages).
+
+        Only the HUB half-step materializes per iteration (lineage cut
+        + sole consumer boundary); the intermediate auth scores have
+        exactly one consumer inside the loop, so checkpointing them too
+        just added an eager job per iteration — the fixed-point math is
+        snapped to the 1e-12 grid either way, so the iterates (and the
+        unrolled oracle) are unchanged."""
         raw = (
             edges.join(
                 scores.withColumnRenamed("doc_id", join_key)
@@ -1260,22 +1267,26 @@ def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
         tot = full.agg(F.round(F.sum("raw"), 12).alias("tot"))
-        return (
+        out = (
             full.crossJoin(F.broadcast(tot))  # 1 row: the L1 scalar
             .select(
                 "doc_id",
                 F.round(F.col("raw") / F.col("tot"), 12).alias(score_col),
             )
-            .localCheckpoint(eager=True)
         )
+        return out.localCheckpoint(eager=True) if checkpoint else out
 
     hubs = nodes.select(
         "doc_id", F.round(F.lit(1.0 / n_docs), 12).alias("hub")
     )
     auths = None
-    for _ in range(HITS_ITERS):
+    for it in range(HITS_ITERS):
+        # final iteration's auths feed BOTH the last hub half-step and
+        # the output join -> materialize those; earlier auths are
+        # single-consumer and stay lazy inside the hub checkpoint
         auths = _half(hubs.withColumnRenamed("hub", "auth"),
-                      "auth", "src", "dst")
+                      "auth", "src", "dst",
+                      checkpoint=(it == HITS_ITERS - 1))
         hubs = _half(auths.withColumnRenamed("auth", "hub"),
                      "hub", "dst", "src")
     return (
