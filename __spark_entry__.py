@@ -530,33 +530,80 @@ def _session_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so a prefix-sampling gate covers everything that most
-    needs driver evidence first: (1) the five round-4 tail registrations
-    that have never had a driver row (the r04 prefix froze before they
-    landed), (2) operators changed in round 5 (robots wildcard rules are
-    in group 1 via robots_filter; WARC header writes went
-    case-insensitive; the handmade corpus gained linearized + hybrid
-    /XRefStm fixtures; the minhash128 family moved to the vectorized
-    numpy fold), (3) queries last driver-sampled in r03, (4) the
-    remainder, all driver-green in r04."""
+    needs driver evidence first (re-derived per round from the latest
+    CORRECTNESS json, per the CLAUDE.md recipe). Round 6: (1) the 41
+    queries whose last driver row is r03 — their rows predate the
+    round-4/5 refactors (fused sketch artifacts, numpy minhash fold)
+    and several were re-optimized again this round (vectorized simhash
+    + shingles, scan fan-out, norm precompute); (2) the most
+    structurally changed round-6 operators not already in group 1
+    (in-row LSH pair generation + batch-vocabulary fold:
+    dedup_clusters_128 / minhash128 family / dedup_clusters /
+    minhash_*; HITS/pagerank checkpoint restructure; fan-out narrow
+    folds: doc_fingerprint / link_graph_degrees); (3) the r05-sampled
+    remainder (freshest driver rows); (4) the r04-green rest."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    # -- group 1: registered after the r04 prefix froze; never sampled --
+    # -- group 1: last driver-sampled in round 3 (41 queries) --
+    out["simhash"] = ops.simhash
+    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
+    out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
+    out["ivf_train_cells"] = ops.ivf_train_cells
+    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
+    out["cosine_topk"] = ops.cosine_topk
+    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
+    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
+    out["dedup_exact"] = ops.dedup_exact
+    from pdfi_spark.ops.webtext import HTML_ORACLE_RECIPES
+
+    for recipe in HTML_ORACLE_RECIPES:
+        out[f"html_{recipe}"] = ops.html_main_content(recipe)
+    out["html_block_stats"] = ops.html_block_stats
+    out["html_content_spans"] = ops.html_content_spans
+    out["corpus_build_counts"] = ops.corpus_build_counts
+    out["html_streaming"] = _html_streaming_query
+    out["corpus_stats"] = ops.corpus_stats
+    out["length_percentiles"] = ops.length_percentiles
+    out["repetition_scores"] = ops.repetition_scores
+    out["quality_filter"] = ops.quality_filter
+    out["stratified_sample"] = ops.stratified_sample
+    out["pii_scrub"] = ops.pii_scrub
+    out["media_metadata"] = ops.media_metadata
+    out["media_feature_summary"] = ops.media_feature_summary
+    out["media_resize"] = ops.media_resize
+    out["nation_revenue_topk"] = ops.nation_revenue_topk
+    out["top_events_per_user"] = ops.top_events_per_user
+    out["asof_join_events"] = ops.asof_join_events
+    out["range_join_counts"] = ops.range_join_counts
+    out["json_props_stats"] = ops.json_props_stats
+    out["layout_lines_window"] = _layout_lines_window_query
+    out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
+    out["extract_streaming"] = _extract_streaming_query
+    out["windowed_event_counts"] = _windowed_events_query
+    out["sessionize_events"] = _sessionize_query
+    out["session_window_events"] = _session_window_query
+    out["streaming_dedup_state"] = _streaming_dedup_state_query
+    # -- group 2: most-changed in round 6, last sampled r04 (9 queries:
+    #    fills the 50-row prefix exactly) --
+    out["dedup_clusters_128"] = ops.dedup_clusters_128
+    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
+    out["dedup_clusters"] = ops.dedup_clusters
+    out["minhash_signatures"] = ops.minhash_signatures
+    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
+    out["doc_fingerprint"] = ops.doc_fingerprint
+    out["link_graph_hits"] = ops.link_graph_hits
+    out["link_graph_pagerank"] = ops.link_graph_pagerank
+    out["link_graph_degrees"] = ops.link_graph_degrees
+    # -- group 3: r05-sampled remainder (freshest driver rows) --
     out["tfidf_top_terms"] = ops.tfidf_top_terms
     out["unigram_surprisal"] = ops.unigram_surprisal
     out["host_stats"] = ops.host_stats
     out["url_dedup_streaming"] = _url_dedup_streaming_query
     out["robots_filter"] = ops.robots_filter
-    # -- group 2: changed in round 5 --
     out["warc_extract"] = ops.warc_extract
     out["warc_streaming"] = _warc_streaming_query
     out["extract_handmade"] = _extract_handmade_query
-    # the 128-perm sketch family moved to the vectorized numpy fold
     out["minhash128_signatures"] = ops.minhash128_signatures
     out["minhash128_lsh_buckets"] = ops.minhash128_lsh_buckets
-    out["dedup_clusters_128"] = ops.dedup_clusters_128
-    out["minhash128_jaccard_estimates"] = ops.minhash128_jaccard_estimates
-    # NEW in round 5: SemDedup semantic pruning, deterministic training
-    # shuffle, anchor-text index, politeness frontier scheduling,
-    # paragraph-level dedup, token-budget shard packing
     out["semdedup"] = ops.semdedup
     out["training_shuffle_manifest"] = ops.training_shuffle_manifest
     out["anchor_text_index"] = ops.anchor_text_index
@@ -570,7 +617,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["exact_substring_excise"] = ops.exact_substring_excise
     out["bm25_topk"] = ops.bm25_topk
     out["surprisal_buckets"] = ops.surprisal_buckets
-    out["link_graph_hits"] = ops.link_graph_hits
     out["cdx_index"] = ops.cdx_index
     out["pq_codes"] = ops.pq_codes
     out["pq_topk"] = ops.pq_topk
@@ -590,58 +636,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q18_large_volume_customer"] = ops.q18_large_volume_customer
     out["link_graph_triangles"] = ops.link_graph_triangles
     out["frontier_schedule_streaming"] = _frontier_streaming_query
-    # -- group 3: last driver-sampled in round 3 (resume query first:
-    #    its wrapper moved to self-cleaning scratch dirs this round) --
+    # -- group 4: r04-green remainder --
     out["pipeline_resume_counts"] = _pipeline_resume_query
-    out["minhash_lsh_buckets"] = ops.minhash_lsh_buckets
-    out["dedup_clusters"] = ops.dedup_clusters
-    out["link_graph_degrees"] = ops.link_graph_degrees
     out["html_outlinks"] = ops.html_outlinks
-    out["media_metadata"] = ops.media_metadata
-    out["media_feature_summary"] = ops.media_feature_summary
-    out["media_resize"] = ops.media_resize
-    out["extract_streaming"] = _extract_streaming_query
-    out["windowed_event_counts"] = _windowed_events_query
-    out["sessionize_events"] = _sessionize_query
-    out["session_window_events"] = _session_window_query
-    out["streaming_dedup_state"] = _streaming_dedup_state_query
-    out["corpus_stats"] = ops.corpus_stats
-    out["length_percentiles"] = ops.length_percentiles
-    out["repetition_scores"] = ops.repetition_scores
-    out["quality_filter"] = ops.quality_filter
-    out["stratified_sample"] = ops.stratified_sample
-    out["layout_lines_window"] = _layout_lines_window_query
-    from pdfi_spark.ops.webtext import HTML_ORACLE_RECIPES
-
-    for recipe in HTML_ORACLE_RECIPES:
-        out[f"html_{recipe}"] = ops.html_main_content(recipe)
-    out["html_block_stats"] = ops.html_block_stats
-    out["html_content_spans"] = ops.html_content_spans
-    out["corpus_build_counts"] = ops.corpus_build_counts
-    out["html_streaming"] = _html_streaming_query
-    out["ivf_train_cells"] = ops.ivf_train_cells
-    out["extract_zapf_dingbats"] = _extract_query("zapf_dingbats")
-    out["simhash"] = ops.simhash
-    out["simhash_neardup_pairs"] = ops.simhash_neardup_pairs
-    out["pii_scrub"] = ops.pii_scrub
-    out["asof_join_events"] = ops.asof_join_events
-    out["range_join_counts"] = ops.range_join_counts
-    out["json_props_stats"] = ops.json_props_stats
-    out["embedding_neardup_topk"] = ops.embedding_neardup_topk
-    out["nation_revenue_topk"] = ops.nation_revenue_topk
-    out["top_events_per_user"] = ops.top_events_per_user
-    out["dedup_exact"] = ops.dedup_exact
-    out["ngram_jaccard"] = ops.ngram_jaccard_pairs
-    out["cosine_topk"] = ops.cosine_topk
-    out["cosine_adjacent"] = ops.cosine_adjacent_pairs
-    out["lsh_ann_buckets"] = ops.lsh_ann_buckets
-    # -- group 4: driver-green in round 4 --
     out["link_graph_pagerank_dangling"] = ops.link_graph_pagerank_dangling
     out["url_canonicalize"] = ops.url_canonicalize
     out["url_dedup_counts"] = ops.url_dedup_counts
     out["lang_balance_sample"] = ops.lang_balance_sample
     out["wet_export"] = ops.wet_export
-    out["link_graph_pagerank"] = ops.link_graph_pagerank
     out["ivf_cell_counts"] = ops.ivf_cell_counts
     out["ivf_topk"] = ops.ivf_topk
     out["ivf_topk_nprobe2"] = ops.ivf_topk_nprobe
@@ -649,7 +651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["lang_id_ngram"] = ops.lang_id_ngram
     out["quality_scores"] = ops.quality_scores
     out["token_counts"] = ops.token_counts
-    out["doc_fingerprint"] = ops.doc_fingerprint
     out["decontaminate"] = ops.decontaminate
     out["extract_sections_struct"] = _extract_sections_struct_query
     out["extract_corrupt"] = _extract_corrupt_query
@@ -658,7 +659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["xref_count"] = _xref_count_query
     out["extract_meta"] = _extract_meta_query
     out["extract_errors"] = _extract_errors_query
-    out["minhash_signatures"] = ops.minhash_signatures
     for recipe in ORACLE_EXPECTED_SQL:
         out.setdefault(f"extract_{recipe}", _extract_query(recipe))
     return out

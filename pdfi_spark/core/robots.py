@@ -30,6 +30,7 @@ time, so parser edits propagate to both engines.
 """
 from __future__ import annotations
 
+import math
 import re
 from functools import lru_cache
 
@@ -198,9 +199,16 @@ def parse_robots(text: str) -> list[dict]:
             agents_open = False
             if current is not None:
                 try:
-                    current["delay"] = float(value)
+                    v = float(value)
                 except ValueError:
                     pass  # garbage delay: ignored like any unknown field
+                else:
+                    # 'inf'/'nan'/negative parse as floats but are
+                    # garbage as delays (NaN would even break the
+                    # order-insensitive value hash downstream): treat
+                    # non-finite/negative like any other garbage value
+                    if math.isfinite(v) and v >= 0:
+                        current["delay"] = v
         else:
             agents_open = False  # Sitemap etc.: ends the agent run
     return groups

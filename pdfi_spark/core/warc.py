@@ -48,6 +48,10 @@ class Headers(dict):
     header lines differing only in case can't fork into two entries).
     Records carry ~6 fields, so the linear scan is cheaper than keeping
     a parallel lowercased index in every record dict.
+
+    Known limitation: ``__delitem__``/``pop`` remain case-SENSITIVE
+    (plain dict semantics) — no caller deletes header fields; route any
+    future deletion through ``_key`` first.
     """
 
     def _key(self, name: str) -> str | None:

@@ -647,11 +647,18 @@ def _pairs_from_members(members: DataFrame,
             ),
         )
     )
-    return (
+    distinct_pairs = (
         grouped.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # candidate pairs are BYTES-tiny (16 B/row) but every pair pays real
+    # array math downstream (shingle Jaccard / 128-lane agreement), so
+    # size-based AQE coalescing would funnel the verify stage onto one
+    # or two cores; spread the ids explicitly — the exchange moves only
+    # the id pairs, a rounding error next to the artifact joins
+    sc = distinct_pairs.sparkSession.sparkContext
+    return distinct_pairs.repartition(sc.defaultParallelism)
 
 
 def _large_star(sym: DataFrame) -> DataFrame:

@@ -241,19 +241,26 @@ def _raw_url_expr():
     return F.concat(scheme, host, port, path, query, frag)
 
 
-def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, raw_url, canon_url): the canonicalizer over the planted
-    messy-URL corpus. Narrow zero-exchange codegen map; scan pruned to
-    doc_id only."""
-    # RAW scan: the canonicalizer is a handful of regex ops per row —
-    # far below the fan-out break-even (the repartition exchange would
-    # cost more than the serial narrow work it parallelizes)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+def _url_canonicalize_from(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         _raw_url_expr().alias("raw_url"),
     ).select(
         "doc_id", "raw_url", canonical_url(F.col("raw_url")).alias("canon_url")
+    )
+
+
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, raw_url, canon_url): the canonicalizer over the planted
+    messy-URL corpus. Narrow zero-exchange codegen map; scan pruned to
+    doc_id only."""
+    # RAW scan: the canonicalizer alone is a handful of regex ops per
+    # row — below the fan-out break-even (the repartition exchange
+    # costs more than the serial narrow work it parallelizes).
+    # robots_filter layers per-(page, rule) regexp matching on top and
+    # fans its page side out instead.
+    return _url_canonicalize_from(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
 
 
@@ -287,7 +294,12 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of distinct rules per host cheap per row."""
     from ..core.robots import ROBOTS_TXT, pattern_regex, rules_for
 
-    canon = url_canonicalize(spark, sf_dir)
+    # fanned page side: the broadcast-join stage below evaluates one
+    # regexp per (page, host rule) — real narrow CPU that a single-split
+    # scan would serialize (measured interleaved A/B win at sf0.1)
+    canon = _url_canonicalize_from(
+        read_parquet_fanned(spark, f"{sf_dir}/documents.parquet")
+    )
     pages = canon.select(
         "doc_id",
         F.regexp_extract("canon_url", "^[a-z]+://([^/:?#]+)", 1)

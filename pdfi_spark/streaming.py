@@ -280,6 +280,11 @@ def frontier_schedule_streaming(spark: SparkSession, sf_dir: str,
     allowed = robots_filter(spark, sf_dir).filter(F.col("allowed")).select(
         "doc_id", "host"
     ).localCheckpoint(eager=True)
+    # driver-side scalar, FIXTURE SETUP ONLY (the documented exception
+    # to the no-driver-collects rule, same class as the embedded
+    # count-star scalars): the max doc_id just sizes the range splits of
+    # the synthetic input files; production frontiers stream from a real
+    # source and never run this block
     hi = allowed.agg(F.max("doc_id")).first()[0] or 0
     span = hi // n_input_files + 1
     input_dir = scratch_dir(prefix="pdfi_frontier_in_")

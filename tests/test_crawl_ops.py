@@ -17,6 +17,13 @@ def test_crawl_delay_parsing():
     assert crawl_delay("User-agent: *\nCrawl-delay: 0.5\n") == 0.5
     assert crawl_delay("User-agent: *\nCrawl-delay: soon\n") is None
     assert crawl_delay("") is None
+    # non-finite / negative values parse as floats but are garbage as
+    # delays (NaN would break the order-insensitive value hash): treated
+    # like any other unparsable value
+    assert crawl_delay("User-agent: *\nCrawl-delay: inf\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -inf\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: nan\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -3\n") is None
 
 
 def test_frontier_schedule_spacing_and_politeness(spark):

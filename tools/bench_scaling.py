@@ -324,12 +324,13 @@ def _mixed_ceiling_sentence() -> str:
     tp4 = mpm["results"]["4"]["docs_per_sec"]
     tp16 = mpm["results"]["16"]["docs_per_sec"]
     pct = round(100 * spark_eff / eff)
+    loss = round(100 * (1 - eff))
     return (
         "The no-framework multiprocessing control on the SAME mixed "
         f"corpus measures a **{eff}** host ceiling at this pair "
         f"({tp4:,.0f} -> {tp16:,.0f} docs/sec, "
         ".bench/mp_baseline_mixed.json): plain static file-splitting with "
-        "zero shuffle already loses ~19% to memory bandwidth at 16 "
+        f"zero shuffle already loses ~{loss}% to memory bandwidth at 16 "
         f"processes, so the salted figure is ~{pct}% of what the host "
         "itself can scale — while additionally paying the salted "
         "repartition (a full shuffle the control does not perform; "
