@@ -1008,7 +1008,10 @@ def _pagerank_topk(nodes: DataFrame, edges: DataFrame,
     would co-partition edges and ranks on src so only the rank side
     moves. Final top-k is TakeOrderedAndProject, never a full sort."""
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    # per-edge contribution weight 1/out-degree, precomputed once
+    # per-edge contribution weight 1/out-degree, precomputed once.
+    # (r6 note: deriving ew/dangling lazily from the edge checkpoint was
+    # A/B-measured SLOWER — every iteration re-pays their join/anti-join
+    # stages — so both stay eagerly materialized.)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ew = (
         edges.join(deg, "src")
