@@ -267,14 +267,100 @@ def ivf_train_cells(spark: SparkSession, sf_dir: str,
 def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS,
                 codebook_src: DataFrame | None = None,
                 centroids: DataFrame | None = None) -> DataFrame:
-    """vec_id -> nearest-centroid cell via broadcast cross join + argmax
-    cosine (ties broken by smaller centroid_id). The codebook is tiny, so
-    scoring is a narrow broadcast map; the argmax is ``max_by`` under
-    groupBy, which partial-aggregates map-side — the shuffle carries one
-    row per vector, not one per (vector, centroid). At 10^9+ vectors this
-    is the standard IVF build: one pass, embarrassingly parallel.
-    ``centroids`` supplies an explicit (centroid_id, cvec) codebook
-    (e.g. from kmeans_codebook); else first-n of ``codebook_src``/emb."""
+    """vec_id -> nearest-centroid cell, vectorized: the codebook is a
+    trained MODEL of dimension size (n_centroids x dims floats — KBs
+    here, MBs at the paper-scale 11k clusters), so it is collected once
+    and closed over by an Arrow-batched numpy scorer, exactly how a
+    production pipeline ships a trained model into a UDF. The whole
+    argmax happens IN-ROW — no per-(vector, centroid) row blowup and no
+    groupBy exchange at all (the previous broadcast-cross-join +
+    max_by shape, kept below as ``_ivf_assign_hof``, paid ~n_centroids
+    interpreted 64-element HOF folds per vector plus a keyed shuffle).
+
+    Bit-exactness: the scorer reproduces the Catalyst fold order
+    exactly — per-dimension sequential accumulate of the
+    correctly-rounded float->double products for dot and norm, one
+    division — so every cosine is the identical double; the argmax
+    replicates max_by's total ordering (NaN greatest, ties to the
+    smaller centroid_id — the NaN branch is defensive only: a
+    zero-norm vector makes the ANSI-mode Catalyst twin throw
+    DIVIDE_BY_ZERO outright, and real corpora have none). Pinned
+    output-for-output against the HOF twin in tests/test_kmeans.py. ``centroids`` supplies an explicit
+    (centroid_id, cvec) codebook (e.g. from kmeans_codebook); else
+    first-n of ``codebook_src``/emb."""
+    import numpy as np
+    import pandas as pd
+
+    if centroids is not None:
+        cent = centroids
+    else:
+        cent = _centroids(codebook_src if codebook_src is not None else emb, n)
+    rows = sorted(
+        cent.select("centroid_id", "cvec").collect(),
+        key=lambda r: r["centroid_id"],
+    )
+    cids = np.asarray([r["centroid_id"] for r in rows], dtype=np.int64)
+    cvecs = [np.asarray(r["cvec"], dtype=np.float64) for r in rows]
+    # centroid norms once, sequential fold order (bit-identical to the
+    # _norm expression the HOF twin evaluates)
+    cnorms = []
+    for c in cvecs:
+        acc = 0.0
+        for x in c:
+            acc = acc + x * x
+        cnorms.append(np.sqrt(acc))
+    cnorms = np.asarray(cnorms)
+
+    def assign(iterator):
+        for batch in iterator:
+            if len(batch) == 0:
+                yield pd.DataFrame(
+                    {"vec_id": [], "embedding": [], "centroid_id": []}
+                )
+                continue
+            E = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            nvec, dims = E.shape
+            na = np.zeros(nvec)
+            dots = np.zeros((nvec, len(cvecs)))
+            C = np.stack(cvecs)  # (n_cent, dims)
+            for i in range(dims):
+                col = E[:, i]
+                na = na + col * col
+                dots = dots + col[:, None] * C[None, :, i]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                na = np.sqrt(na)
+                cos = dots / (na[:, None] * cnorms[None, :])
+            # max_by total ordering: NaN sorts ABOVE +Inf and every
+            # other double; ties resolve to the smaller centroid_id
+            # (the struct's -centroid_id key). Columns are
+            # centroid_id-ascending and argmax takes the FIRST max, so:
+            # any-NaN rows pick the first NaN column, the rest the
+            # first cosine maximum.
+            nan_mask = np.isnan(cos)
+            has_nan = nan_mask.any(axis=1)
+            best = np.where(
+                has_nan,
+                np.argmax(nan_mask, axis=1),
+                np.argmax(np.where(nan_mask, -np.inf, cos), axis=1),
+            )
+            yield pd.DataFrame({
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+                "centroid_id": cids[best],
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, centroid_id long"
+    )
+
+
+def _ivf_assign_hof(emb: DataFrame, n: int = N_CENTROIDS,
+                    codebook_src: DataFrame | None = None,
+                    centroids: DataFrame | None = None) -> DataFrame:
+    """The Catalyst twin of _ivf_assign (cross-check): broadcast cross
+    join + argmax cosine via ``max_by`` under groupBy (map-side
+    partials — the shuffle carries one row per vector, not one per
+    (vector, centroid))."""
     if centroids is not None:
         cent = centroids
     else:

