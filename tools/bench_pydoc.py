@@ -94,30 +94,23 @@ def main():
 
     timed("warc gzip_member only", warc_gzip_only, n)
 
-    # minhash128 artifacts fold (one big batch, the mapInPandas body)
+    # minhash128 artifacts fold (one big batch, the mapInPandas body):
+    # r5 body (one md5 + 128-lane expansion per PER-DOC-distinct word)
+    # vs r6 body (once per BATCH-distinct word, then gather)
     import pandas as pd
+    import numpy as np
     from pdfi_spark.ops import dedup as dd
 
     batch = pd.DataFrame({"doc_id": doc_ids, "text": texts})
+    params = dd._minhash128_params()
+    import hashlib
+    A = np.asarray([p[0] for p in params], dtype=np.int64)
+    B = np.asarray([p[1] for p in params], dtype=np.int64)
+    IDX = np.asarray([p[2] for p in params], dtype=np.int64)
+    P = np.int64(dd.MINHASH128_P)
+    md5 = hashlib.md5
 
-    def artifacts(**kw):
-        art = dd._minhash128_artifacts  # noqa: SLF001
-        # call the inner fold directly through the public op by rebuilding
-        # its closure: cheaper to just re-implement the loop via the
-        # module-level helper if present
-        return art
-
-    # time the fold body by invoking the generator by hand
-    import numpy as np  # noqa: F401
-
-    def run_fold(with_words=False, with_shingles=False):
-        params = dd._minhash128_params()
-        import hashlib
-        A = np.asarray([p[0] for p in params], dtype=np.int64)
-        B = np.asarray([p[1] for p in params], dtype=np.int64)
-        IDX = np.asarray([p[2] for p in params], dtype=np.int64)
-        P = np.int64(dd.MINHASH128_P)
-        md5 = hashlib.md5
+    def fold_r5():
         raw_per_doc = [str(t).split(" ") for t in batch["text"]]
         words_per_doc = [list(dict.fromkeys(ws)) for ws in raw_per_doc]
         counts = np.asarray([len(w) for w in words_per_doc])
@@ -129,9 +122,27 @@ def main():
         vals = (lanes.astype(np.int64)[:, IDX] * A + B) % P
         starts = np.zeros(len(counts), dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
-        np.minimum.reduceat(vals, starts, axis=0)
+        return np.minimum.reduceat(vals, starts, axis=0)
 
-    timed("minhash128 fold (r5 body)", run_fold, n)
+    def fold_r6():
+        raw_per_doc = [str(t).split(" ") for t in batch["text"]]
+        words_per_doc = [list(dict.fromkeys(ws)) for ws in raw_per_doc]
+        counts = np.asarray([len(w) for w in words_per_doc])
+        vocab, setdefault = {}, None
+        setdefault = vocab.setdefault
+        widx = [setdefault(w, len(vocab))
+                for ws in words_per_doc for w in ws]
+        digests = b"".join(md5(w.encode("utf-8")).digest() for w in vocab)
+        lanes = np.frombuffer(digests, dtype=">u4").reshape(-1, 4)
+        vals_u = (lanes.astype(np.int64)[:, IDX] * A + B) % P
+        vals = vals_u[np.asarray(widx, dtype=np.int64)]
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        return np.minimum.reduceat(vals, starts, axis=0)
+
+    timed("minhash128 fold (r5 body)", fold_r5, n)
+    timed("minhash128 fold (r6 vocab-dedup)", fold_r6, n)
+    assert (fold_r5() == fold_r6()).all()
 
     # word stats
     raw = [t.split(" ") for t in texts]
@@ -143,9 +154,6 @@ def main():
         vocab.update(ws)
     print(f"words total={total_words} uniq/doc sum={total_uniq} "
           f"corpus vocab={len(vocab)}")
-
-    # PDF extraction per-doc floor
-    from pdfi_spark.core.api import extract_record  # noqa: F401
 
 
 if __name__ == "__main__":
