@@ -25,8 +25,9 @@ CASES = [
      "32-bit lanes in a separate non-collapsed projection",
      None),
     ("simhash",
-     "zero Exchange: per-row aggregate/zip_with fold over word hashes; "
-     "bit masks are a plan-time literal array (no per-word pow calls)",
+     "zero shuffle: vectorized numpy mapInPandas (batch-distinct word "
+     "md5s + one +-1 bit matrix + add.reduceat; bit-identical to the "
+     "retained Catalyst-HOF twin, pinned in test_dedup_clusters)",
      None),
     ("minhash_lsh_buckets",
      "single Exchange: the groupBy(band, bucket) — coding is narrow",
@@ -44,9 +45,10 @@ CASES = [
      "combiner-friendly groupBy(band, bucket)",
      None),
     ("dedup_clusters",
-     "bucket-capped LSH self-join (sum(bucket^2), not N^2) -> Jaccard "
-     "verify -> large-star/small-star connected components (O(log n) "
-     "rounds), lineage cut per round",
+     "bucket-capped LSH candidates from ONE keyed aggregate with "
+     "in-row i<j pair generation (sum(bucket^2) pairs, no self-join, "
+     "never N^2) -> Jaccard verify -> large-star/small-star connected "
+     "components (O(log n) rounds), lineage cut per round",
      None),
     ("cosine_topk",
      "broadcast 1-row query side + TakeOrderedAndProject: no shuffle, "
@@ -127,8 +129,9 @@ CASES = [
     ("semdedup",
      "within-cell pair stage joins KEYED on centroid_id (cost "
      "sum(cell^2), cluster count grows with N in production) over the "
-     "once-checkpointed trained assignment; codebook rides along "
-     "broadcast — no cartesian anywhere",
+     "once-checkpointed trained assignment; the dimension-sized "
+     "codebook ships INTO the vectorized in-row assignment scorer — "
+     "no per-(vector,centroid) row blowup, no cartesian anywhere",
      None),
     ("cdx_index",
      "the CDX capture index is a pure narrow codegen rule chain over "
@@ -283,7 +286,12 @@ def main() -> int:
         "Auto-generated by `python tools/dump_plans.py` at sf0.001 on "
         "local[4] (plan SHAPE is what matters; AQE may further adapt at "
         "runtime). The property named for each query is asserted "
-        "mechanically in `tests/test_plans.py`.",
+        "mechanically in `tests/test_plans.py`. Round-6 note: a "
+        "RoundRobinPartitioning exchange directly above a scan is the "
+        "adaptive fan-out for under-split single-row-group inputs "
+        "(ops/_scan.py) — absent at production split counts; 'zero "
+        "Exchange'/'single Exchange' claims count the OTHER exchanges, "
+        "exactly as tests/test_plans.py::_shuffles does.",
     ]
     for name, claim, builder in CASES:
         fn = builder or getattr(ops, {
