@@ -50,3 +50,33 @@ def read_parquet_fanned(spark: SparkSession, path: str) -> DataFrame:
     if scan_partitions(spark, path, df) < p:
         return df.repartition(p)
     return df
+
+
+# Below this input size the fan-out exchange costs more than the serial
+# narrow work it parallelizes for aggregate-/exchange-bound operators
+# (measured at sf0.1, where the 0.6 MB documents file favored the raw
+# scan by 0.2-0.7 s per query); at ~10x that size (3.4 MB compressed)
+# the same operators' serial narrow work dominates instead (measured:
+# bigram_surprisal 5.4 s raw vs ~2 s fanned at 10x) and fanning wins.
+# Size is a coarse proxy for rows x per-row work, which is what
+# actually serializes.
+MIN_FAN_BYTES = 2 << 20
+
+
+def read_parquet_auto(spark: SparkSession, path: str,
+                      min_fan_bytes: int = MIN_FAN_BYTES) -> DataFrame:
+    """Size-adaptive reader for operators whose fan-out break-even
+    depends on input volume: RAW scan below ``min_fan_bytes`` (tiny
+    inputs: an exchange is pure overhead next to their map-side partial
+    aggregation), fanned above it. Multi-file/directory inputs skip the
+    size probe and use the ordinary under-split rule (production inputs
+    are many-split, where both paths are the same no-op)."""
+    import os
+
+    try:
+        size = os.path.getsize(path) if os.path.isfile(path) else None
+    except OSError:  # pragma: no cover — exotic paths
+        size = None
+    if size is not None and size < min_fan_bytes:
+        return spark.read.parquet(path)
+    return read_parquet_fanned(spark, path)

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._scan import read_parquet_fanned
+from ._scan import read_parquet_auto, read_parquet_fanned
 
 EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 BPE_ISH_RE = "[a-z]{1,4}"
@@ -21,12 +21,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw scan — for operators that are aggregate/exchange-bound
-    (explode -> keyed aggregate, windows): their map-side partials
-    compress before the first exchange, so the fan-out repartition
-    would add an exchange of raw text rows that costs more than the
-    serial narrow work it parallelizes (measured at sf0.1)."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Size-adaptive scan — for operators that are aggregate/exchange-
+    bound (explode -> keyed aggregate, windows): their map-side
+    partials compress before the first exchange, so on SMALL inputs the
+    fan-out repartition adds an exchange of raw text rows that costs
+    more than the serial narrow work it parallelizes (measured at
+    sf0.1); past the _scan.MIN_FAN_BYTES break-even the serial narrow
+    work dominates instead (measured at 10x) and the scan fans out."""
+    return read_parquet_auto(spark, f"{sf_dir}/documents.parquet")
 
 
 def lang_stopword_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..core.html import block_stats, extract_main_text, parse_blocks, parse_links
 from ..core.htmlgen import ORACLE_PER_BLOCK, build_html, build_linked_page
-from ._scan import read_parquet_fanned
+from ._scan import read_parquet_auto, read_parquet_fanned
 
 HTML_ORACLE_RECIPES = [
     "plain", "boiler", "linkfarm", "entities", "nested", "malformed",
@@ -65,9 +65,12 @@ def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _base_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text) over the RAW scan — for the snapshot-diff family,
-    whose narrow work is one md5 per doc (far below the fan-out
-    break-even; the repartition exchange measured as a net loss)."""
+    """(doc_id, text) over the RAW scan at ANY size — for the
+    snapshot-diff family, whose narrow work (one md5 per doc) is
+    proportional to the bytes the scan already decodes serially, so
+    the fan-out exchange never pays for itself (measured a net loss at
+    sf0.1 AND at 10x, unlike the regex/explode-bound families that use
+    the size-adaptive reader)."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
@@ -254,13 +257,14 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, raw_url, canon_url): the canonicalizer over the planted
     messy-URL corpus. Narrow zero-exchange codegen map; scan pruned to
     doc_id only."""
-    # RAW scan: the canonicalizer alone is a handful of regex ops per
-    # row — below the fan-out break-even (the repartition exchange
-    # costs more than the serial narrow work it parallelizes).
-    # robots_filter layers per-(page, rule) regexp matching on top and
-    # fans its page side out instead.
+    # size-adaptive scan: the canonicalizer alone is a handful of
+    # regex ops per row — below the fan-out break-even on small inputs
+    # (the repartition exchange costs more than the serial narrow work
+    # it parallelizes; measured at sf0.1), serializing measurably past
+    # _scan.MIN_FAN_BYTES. robots_filter additionally layers
+    # per-(page, rule) regexp matching on top and fans unconditionally.
     return _url_canonicalize_from(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        read_parquet_auto(spark, f"{sf_dir}/documents.parquet")
     )
 
 
@@ -1333,7 +1337,7 @@ def cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     concatenate into the globally sorted CDX; the rows here are
     emitted unsorted (the sort is a sink property, not part of the
     per-capture map)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_auto(spark, f"{sf_dir}/documents.parquet")
     canon = canonical_url(_raw_url_expr())
     host = F.regexp_extract(canon, "^[a-z]+://([^/:?#]+)", 1)
     rest = F.regexp_extract(canon, "^[a-z]+://[^/?#]+(.*)$", 1)

@@ -823,3 +823,36 @@ def test_scan_fanout_adaptive(spark, tmp_path):
     spark.range(p * 4).repartition(p * 2).write.parquet(multi)
     plan2 = _plan(read_parquet_fanned(spark, multi))
     assert "RoundRobinPartitioning" not in plan2, plan2
+
+
+def test_scan_auto_size_threshold(spark, tmp_path):
+    # ops/_scan.py::read_parquet_auto — the size-adaptive reader for
+    # aggregate-bound operators: RAW below MIN_FAN_BYTES (the exchange
+    # costs more than the serial narrow work), fanned above it.
+    from pyspark.sql import functions as F
+
+    from pdfi_spark.ops._scan import MIN_FAN_BYTES, read_parquet_auto
+
+    # the sf0.001 documents file is far below the threshold -> raw
+    small = read_parquet_auto(spark, f"{SF}/documents.parquet")
+    assert "RoundRobinPartitioning" not in _plan(small), "small input fanned"
+
+    # a single >threshold single-row-group file -> fanned
+    import glob
+    import os
+    import shutil
+
+    big_dir = str(tmp_path / "big.d")
+    # distinct md5 strings defeat parquet's dictionary/RLE encoding so
+    # the file size actually reflects the data volume
+    (spark.range(60_000)
+     .select(F.col("id"),
+             F.concat(F.md5(F.col("id").cast("string")),
+                      F.md5((F.col("id") + 1).cast("string"))).alias("pad"))
+     .coalesce(1).write.option("compression", "none").parquet(big_dir))
+    part = glob.glob(f"{big_dir}/part-*.parquet")[0]
+    big_file = str(tmp_path / "big.parquet")
+    shutil.move(part, big_file)
+    assert os.path.getsize(big_file) > MIN_FAN_BYTES, "fixture too small"
+    big = read_parquet_auto(spark, big_file)
+    assert "RoundRobinPartitioning" in _plan(big), "large input not fanned"
