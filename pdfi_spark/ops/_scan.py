@@ -63,6 +63,25 @@ def read_parquet_fanned(spark: SparkSession, path: str) -> DataFrame:
 MIN_FAN_BYTES = 2 << 20
 
 
+def parquet_num_rows(spark: SparkSession, path: str) -> int:
+    """Exact row count from the parquet FOOTER (the file's own
+    authoritative metadata) — a driver-side footer read instead of a
+    count-star job, for the generator-modulus/count scalars several
+    operators embed. Falls back to a Spark count for non-local /
+    multi-file inputs (where a count-star is metadata-cheap anyway:
+    Spark reads only row-group headers)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # pragma: no cover — unreadable footer etc.
+        pass
+    return spark.read.parquet(path).count()
+
+
 def read_parquet_auto(spark: SparkSession, path: str,
                       min_fan_bytes: int = MIN_FAN_BYTES) -> DataFrame:
     """Size-adaptive reader for operators whose fan-out break-even

@@ -647,18 +647,23 @@ def _pairs_from_members(members: DataFrame,
             ),
         )
     )
-    distinct_pairs = (
+    exploded = (
         grouped.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
     # candidate pairs are BYTES-tiny (16 B/row) but every pair pays real
     # array math downstream (shingle Jaccard / 128-lane agreement), so
     # size-based AQE coalescing would funnel the verify stage onto one
-    # or two cores; spread the ids explicitly — the exchange moves only
-    # the id pairs, a rounding error next to the artifact joins
-    sc = distinct_pairs.sparkSession.sparkContext
-    return distinct_pairs.repartition(sc.defaultParallelism)
+    # or two cores. Spreading and dedup FUSE into one exchange: the
+    # explicit hash repartition on the pair key (pinned partition count
+    # — AQE leaves it alone) satisfies the distinct's partitioning
+    # requirement, so the aggregate runs in place with no second
+    # shuffle; the exchange moves only id pairs, a rounding error next
+    # to the artifact joins.
+    sc = exploded.sparkSession.sparkContext
+    return exploded.repartition(
+        sc.defaultParallelism, "doc_a", "doc_b"
+    ).distinct()
 
 
 def _large_star(sym: DataFrame) -> DataFrame:

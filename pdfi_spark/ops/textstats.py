@@ -6,7 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ._scan import read_parquet_auto, read_parquet_fanned
+from ._scan import (parquet_num_rows, read_parquet_auto,
+                    read_parquet_fanned)
 
 EN_STOPWORDS = ["the", "a", "of", "and", "in", "to", "is"]
 BPE_ISH_RE = "[a-z]{1,4}"
@@ -415,9 +416,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     docs = _docs_raw(spark, sf_dir)
-    # raw-scan count-star (metadata-cheap; the fanned scan would pay its
-    # repartition exchange just to count rows)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # exact doc count from the parquet footer (_scan.parquet_num_rows;
+    # was a count-star job)
+    n_docs = parquet_num_rows(spark, f"{sf_dir}/documents.parquet")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
@@ -669,9 +670,9 @@ def pack_training_shards(spark: SparkSession, sf_dir: str,
     from pyspark.sql import Window
 
     docs = _docs_raw(spark, sf_dir)
-    # raw-scan count-star (cheap; the fanned scan would pay its
-    # repartition exchange just to count rows)
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # exact doc count from the parquet footer (_scan.parquet_num_rows;
+    # was a count-star job)
+    n_docs = parquet_num_rows(spark, f"{sf_dir}/documents.parquet")
     span = max(1, -(-n_docs // SHARD_CHUNKS))  # ceil
     toks = docs.select(
         "doc_id",

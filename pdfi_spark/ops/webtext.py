@@ -51,9 +51,12 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _n_docs(spark: SparkSession, sf_dir: str) -> int:
-    """Metadata-cheap count-star over the RAW scan (a fanned-out scan
-    would pay its repartition exchange just to count rows)."""
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    """Exact doc count from the parquet footer (see
+    _scan.parquet_num_rows) — the scalar several operators embed; was a
+    count-star job per query."""
+    from ._scan import parquet_num_rows
+
+    return parquet_num_rows(spark, f"{sf_dir}/documents.parquet")
 
 
 def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
