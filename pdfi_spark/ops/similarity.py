@@ -285,9 +285,9 @@ def _ivf_assign(emb: DataFrame, n: int = N_CENTROIDS,
     smaller centroid_id — the NaN branch is defensive only: a
     zero-norm vector makes the ANSI-mode Catalyst twin throw
     DIVIDE_BY_ZERO outright, and real corpora have none). Pinned
-    output-for-output against the HOF twin in tests/test_kmeans.py. ``centroids`` supplies an explicit
-    (centroid_id, cvec) codebook (e.g. from kmeans_codebook); else
-    first-n of ``codebook_src``/emb."""
+    output-for-output against the HOF twin in tests/test_kmeans.py.
+    ``centroids`` supplies an explicit (centroid_id, cvec) codebook
+    (e.g. from kmeans_codebook); else first-n of ``codebook_src``/emb."""
     import numpy as np
     import pandas as pd
 
