@@ -438,8 +438,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str,
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.col("term")
     )
+    # Width-pinned exchange for the top-k window: the scored rows are
+    # bytes-small but every one pays the per-doc sort/rank, so AQE's
+    # size-based coalescing would funnel the stage onto 1-2 cores (the
+    # same trap as the LSH candidate pairs, guide §2.5). The explicit
+    # hash repartition on doc_id satisfies the window's required
+    # distribution, so the exchange count is unchanged — only its
+    # width is pinned to the cluster's parallelism.
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOPK)
     )
 

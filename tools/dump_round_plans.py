@@ -34,7 +34,7 @@ QUERIES = [
     "embedding_neardup_topk", "exact_substring_dup",
     "exact_substring_excise", "pmi_collocations", "bm25_topk",
     "unigram_surprisal", "paragraph_dedup", "media_features",
-    "quality_scores", "token_counts",
+    "quality_scores", "token_counts", "tfidf_top_terms",
 ]
 
 NAME_MAP = {"ngram_jaccard_pairs": "ngram_jaccard"}
