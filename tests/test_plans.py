@@ -418,6 +418,17 @@ def test_tfidf_is_keyed_aggregates_and_per_doc_window(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" in plan
     assert "HashAggregate" in plan
+    # the window's exchange is width-pinned (explicit repartition on
+    # doc_id -> REPARTITION_BY_NUM, exempt from AQE size coalescing):
+    # scored rows are bytes-small but each pays the per-doc sort/rank,
+    # so size-based coalescing would funnel the stage onto 1-2 cores
+    # (the LSH-candidate-pair trap). Being a hash repartition on the
+    # window key it REPLACES the window's own required exchange, so
+    # the shuffle count must not grow.
+    # 5 total as at round start: tf agg (planned once per join side),
+    # df agg, the vocab broadcast, and the window's pinned exchange.
+    assert plan.count("REPARTITION_BY_NUM") == 1, plan
+    assert _shuffles(plan) == 5, plan
 
 
 def test_unigram_surprisal_broadcasts_the_model(spark):
